@@ -1,0 +1,138 @@
+"""Primer-EZ transformer primitives, batch-first (N, T, C).
+
+Functional re-design of the reference's (T, N, C) torch modules
+(``models/modules/transformer.py``): squared-ReLU feed-forward, per-head-dim
+depthwise temporal conv on Q/K/V (kernel 3, symmetric crop — shared across
+heads like the reference's grouped Conv1d, ``transformer.py:19-44``), and
+sinusoidal positional encoding.  The depthwise conv is expressed as three
+shifted multiply-adds so XLA fuses it into the projection epilogue instead
+of launching a grouped-conv kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = jnp.dtype
+
+
+def squared_relu(x: jax.Array) -> jax.Array:
+    r = jax.nn.relu(x)
+    return r * r
+
+
+def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
+    """(max_len, d_model); sin on even, cos on odd channels."""
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    two_i = np.arange(0, d_model, 2, dtype=np.float64)
+    div = np.exp(two_i * -(math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe
+
+
+class PositionalEncoding(nn.Module):
+    d_model: int
+    dropout: float = 0.0
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        pe = jnp.asarray(sinusoidal_position_encoding(self.max_len, self.d_model))
+        x = x + pe[None, : x.shape[1]].astype(x.dtype)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class SpatialDepthwiseConv(nn.Module):
+    """Kernel-3 depthwise conv over time on (N, T, H, Dk), weights shared
+    across heads (reference ``SpatialDepthWiseConv``)."""
+
+    d_k: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("kernel", nn.initializers.xavier_uniform(), (3, self.d_k))
+        b = self.param("bias", nn.initializers.zeros, (self.d_k,))
+        w = w.astype(x.dtype)
+        prev = jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        nxt = jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        return prev * w[0] + x * w[1] + nxt * w[2] + b.astype(x.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Softmax attention with optional Primer depthwise-conv on Q/K/V.
+
+    Layout (N, T, C); scores in fp32 regardless of compute dtype.
+    """
+
+    heads: int
+    d_model: int
+    dropout: float = 0.0
+    dconv: bool = True
+    qk_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,
+        key: jax.Array,
+        value: jax.Array,
+        mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        assert self.d_model % self.heads == 0
+        d_k = self.d_model // self.heads
+        dtype = self.dtype or query.dtype
+
+        def proj(x, name, bias):
+            y = nn.Dense(self.d_model, use_bias=bias, dtype=dtype,
+                         kernel_init=nn.initializers.xavier_uniform(), name=name)(x)
+            y = y.reshape(*y.shape[:-1], self.heads, d_k)
+            if self.dconv:
+                y = SpatialDepthwiseConv(d_k, name=f"{name}_dconv")(y)
+            return y
+
+        q = proj(query, "query", self.qk_bias)
+        k = proj(key, "key", self.qk_bias)
+        v = proj(value, "value", True)
+
+        scale = 1.0 / math.sqrt(d_k)
+        scores = jnp.einsum("nihd,njhd->nijh", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        attn = jax.nn.softmax(scores, axis=2)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("nijh,njhd->nihd", attn.astype(dtype), v,
+                         preferred_element_type=jnp.float32).astype(dtype)
+        out = out.reshape(*out.shape[:-2], self.d_model)
+        return nn.Dense(self.d_model, dtype=dtype,
+                        kernel_init=nn.initializers.xavier_uniform(), name="output")(out)
+
+
+class FeedForward(nn.Module):
+    """d -> 4d -> d with squared-ReLU (reference ``FeedForward`` +
+    ``SquaredReLU``)."""
+
+    d_model: int
+    expansion: int = 4
+    dropout: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dtype = self.dtype or x.dtype
+        h = nn.Dense(self.expansion * self.d_model, dtype=dtype,
+                     kernel_init=nn.initializers.xavier_uniform(), name="layer1")(x)
+        h = squared_relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model, dtype=dtype,
+                        kernel_init=nn.initializers.xavier_uniform(), name="layer2")(h)

@@ -1,0 +1,85 @@
+"""Config-driven construction of model / diffusion / optimizer.
+
+Parity with ``models/model_creation.py:19-191`` over the flat config schema
+of ``configs/beat-ours.json`` (the TED nested schema is stale in the
+reference — SURVEY.md defects).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+import optax
+
+from ..diffusion import (
+    Schedule,
+    create_named_schedule_sampler,
+    make_diffusion,
+)
+from ..training.lr_schedule import build_lr_schedule
+from .denoiser import DenoiserConfig, GestureDenoiser
+
+
+def build_model(d_pose: int, model_params, dtype: "str | None" = None) -> GestureDenoiser:
+    decoder_params = model_params.get("Decoder")
+    if decoder_params.type not in ("oneway_cross_attention", "cross_attention"):
+        raise ValueError(f"Unsupported decoder type {decoder_params.type}")
+    encoder_params = model_params.get("Encoder")
+    if encoder_params is not None and encoder_params.get("type", "ha2g") != "ha2g":
+        raise ValueError(f"Unsupported encoder type {encoder_params.type}")
+    gen = model_params.get("Generate")
+    cfg = DenoiserConfig(
+        d_pose=d_pose,
+        d_model=model_params.d_model,
+        heads=decoder_params.heads,
+        n_layers=decoder_params.n_layers,
+        dropout=model_params.get("dropout_prob", 0.0),
+        model_type=model_params.get("type", "s2g_v2"),
+        decoder_type=decoder_params.type,
+        pose_seed_len=(gen.get("pose_seed_len", 10) if gen is not None else 10),
+        dtype=dtype,
+    )
+    return GestureDenoiser(cfg)
+
+
+class ModelBundle(NamedTuple):
+    model: GestureDenoiser
+    schedule: Schedule           # training schedule (full steps)
+    timestep_map: jnp.ndarray
+    eval_schedule: Schedule      # respaced for sampling/eval
+    eval_timestep_map: jnp.ndarray
+    optimizer: Any               # optax.GradientTransformation
+    lr_schedule: Any
+    schedule_sampler: Any
+
+
+def build_all(
+    config,
+    d_pose: int,
+    is_training: bool = True,
+    dtype: "str | None" = None,
+) -> ModelBundle:
+    model_params = config.Model
+    model = build_model(d_pose, model_params, dtype=dtype)
+
+    dp = model_params.get("Diffusion")
+    if dp.get("type", "gaussian") != "gaussian":
+        raise ValueError(f"Unsupported diffusion type {dp.type}")
+    sched, tmap = make_diffusion(
+        dp.noise_schedule, dp.diffusion_steps, dp.get("timestep_respacing"),
+        is_training=True)
+    eval_sched, eval_tmap = make_diffusion(
+        dp.noise_schedule, dp.diffusion_steps, dp.get("timestep_respacing"),
+        is_training=False)
+
+    train_params = config.get("Train") or {}
+    lr = train_params.get("lr", 1e-2) if hasattr(train_params, "get") else 1e-2
+    wd = (train_params.get("weight_decay") or 0.0) if hasattr(train_params, "get") else 0.0
+    lr_schedule = build_lr_schedule(
+        train_params.get("Scheduler") if hasattr(train_params, "get") else None, lr)
+    optimizer = optax.adamw(learning_rate=lr_schedule, weight_decay=wd)
+
+    sampler = create_named_schedule_sampler("uniform", sched.num_timesteps)
+    return ModelBundle(model, sched, tmap, eval_sched, eval_tmap,
+                       optimizer, lr_schedule, sampler)
