@@ -1,0 +1,270 @@
+"""Sampling-time API: single windows, long sequences, bpd, latency.
+
+Re-design of ``models/generator.py:8-309``:
+
+  * ``generate_sample`` — one fused jitted program per (algorithm, inpaint)
+    signature: speech memory encoded ONCE, then the whole reverse process
+    runs as a scan.  The reference re-ran the speech encoder inside every
+    one of the (up to 1000) steps — SURVEY.md §3.2 calls this the single
+    biggest waste — and this hoisting is where most of the speedup lives.
+  * seed-pose continuation via the x0-blending ``denoise_fn`` with the
+    ``trans_factor`` per-frame ramp (generator.py:256-281), fused into the
+    scan body.
+  * ``generate_sequence`` — long audio chunked into overlapping windows,
+    chunk i seeded from the tail of chunk i-1 (generator.py:80-195),
+    with optional linear crossfade at seams.
+  * ``eval_bpd`` — full-T variational bound with memory hoisted.
+  * ``eval_infer_time`` — warmup + timed reps with ``block_until_ready``
+    (mirroring the reference's cuda-event harness, generator.py:47-78).
+
+All layouts are (N, T, C).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import bpd_loop, ddim_sample_loop, ddpm_sample_loop
+from ..diffusion.gaussian import Schedule
+from ..models.denoiser import GestureDenoiser
+
+
+def make_trans_ramp(trans_factor: Optional[float], pose_seed_len: int,
+                    window_len: int) -> Optional[np.ndarray]:
+    """(1, T, 1) per-frame seed-adherence ramp: trans_factor -> 1 over the
+    seed frames, then 1 (generator.py:262-268).  None -> hard seed copy."""
+    if trans_factor is None:
+        return None
+    assert 0.0 <= trans_factor <= 1.0
+    ramp = np.linspace(trans_factor, 1.0, pose_seed_len, endpoint=False)
+    full = np.concatenate([ramp, np.ones(window_len - pose_seed_len)])
+    return full[None, :, None].astype(np.float32)
+
+
+class Generator:
+    def __init__(
+        self,
+        model: GestureDenoiser,
+        variables: dict,
+        sched: Schedule,
+        timestep_map: Optional[jax.Array] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.sched = sched
+        self.timestep_map = timestep_map
+        self._sample_jit = {}   # keyed by (alg, inpaint?)
+        self._bpd_jit = None
+
+    # ------------------------------------------------------------------
+    def _model_fn(self, variables, memory, inpaint_pose=None, inpaint_mask=None):
+        extra = {}
+        if self.model.cfg.model_type == "inpaint":
+            extra = {"inpaint_pose": inpaint_pose, "inpaint_mask": inpaint_mask}
+            if inpaint_pose is None:
+                raise ValueError("inpaint model requires inpaint tensors")
+
+        def model_fn(x, t):
+            return self.model.apply(
+                variables, x, t, memory, train=False,
+                method=GestureDenoiser.denoise, **extra)
+
+        return model_fn
+
+    def _get_sampler(self, alg: str, with_inpaint: bool):
+        key = (alg, with_inpaint)
+        if key in self._sample_jit:
+            return self._sample_jit[key]
+        loop = {"ddim": ddim_sample_loop, "ddpm": ddpm_sample_loop}[alg]
+
+        def fn(variables, wavs, noise, rng, inpaint_poses, inpaint_masks, ramp):
+            memory = self.model.apply(
+                variables, wavs, train=False,
+                method=GestureDenoiser.encode_memory)
+            model_fn = self._model_fn(variables, memory, inpaint_poses, inpaint_masks)
+            denoise_fn = None
+            if with_inpaint:
+                tf = 0.0 if ramp is None else ramp
+
+                def denoise_fn(x0_hat):
+                    return (
+                        (1.0 - tf) * inpaint_masks * inpaint_poses
+                        + tf * inpaint_masks * x0_hat
+                        + (1.0 - inpaint_masks) * x0_hat
+                    )
+
+            return loop(self.sched, model_fn, noise, rng,
+                        denoise_fn=denoise_fn, timestep_map=self.timestep_map)
+
+        jitted = jax.jit(fn)
+        self._sample_jit[key] = jitted
+        return jitted
+
+    # ------------------------------------------------------------------
+    def generate_sample(
+        self,
+        wavs: jax.Array,                       # (N, T_wav)
+        pose_dim: int,
+        pose_window_len: int,
+        rng: jax.Array,
+        noise: Optional[jax.Array] = None,
+        inpaint_poses: Optional[jax.Array] = None,   # (N, T, C)
+        inpaint_masks: Optional[jax.Array] = None,   # (N, T, 1)
+        sample_alg: str = "ddim",
+        trans_factor: Optional[float] = None,
+        pose_seed_len: Optional[int] = None,
+    ) -> jax.Array:
+        """One window batch -> (N, T, C) poses."""
+        assert wavs.ndim == 2, f"wavs must be (N, T_wav), got {wavs.shape}"
+        n = wavs.shape[0]
+        with_inpaint = inpaint_poses is not None
+        if with_inpaint:
+            assert inpaint_masks is not None, "Provide inpaint_masks."
+        ramp = None
+        if with_inpaint and trans_factor is not None:
+            assert pose_seed_len is not None
+            ramp = jnp.asarray(
+                make_trans_ramp(trans_factor, pose_seed_len, pose_window_len))
+        if noise is None:
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
+        sampler = self._get_sampler(sample_alg, with_inpaint)
+        return sampler(self.variables, wavs, noise, rng,
+                       inpaint_poses, inpaint_masks, ramp)
+
+    # ------------------------------------------------------------------
+    def generate_sequence(
+        self,
+        wav_seqs: jax.Array,                  # (N, T_wav_long)
+        wav_sr: int,
+        pose_dim: int,
+        pose_fps: int,
+        pose_window_len: int,
+        pose_seed_len: int,
+        rng: jax.Array,
+        smooth_trans: bool = True,
+        trans_factor: Optional[float] = None,
+        init_poses: Optional[jax.Array] = None,   # (N, seed_len, C)
+        sample_alg: str = "ddim",
+        batch_size: int = 64,
+    ) -> np.ndarray:
+        """Long audio -> (N, T_seq, C) by overlapped windows with seed-pose
+        continuation (generator.py:80-195)."""
+        assert wav_seqs.ndim == 2
+        n_seq, wav_seq_len = wav_seqs.shape
+        seq_len = wav_seq_len // wav_sr * pose_fps
+        stride = pose_window_len - pose_seed_len
+        num_div = int(np.ceil(seq_len / stride))
+        if (seq_len - pose_seed_len) % stride == 0:
+            num_div -= 1
+        wav_window_len = int(wav_sr * pose_window_len / pose_fps)
+
+        outs = []
+        for b0 in range(0, n_seq, batch_size):
+            wav_seq = np.asarray(wav_seqs[b0:b0 + batch_size])
+            nb = len(wav_seq)
+            base_mask = np.zeros((nb, pose_window_len, 1), np.float32)
+            base_mask[:, :pose_seed_len] = 1.0
+
+            samples = []
+            prev_tail = None
+            if init_poses is not None:
+                prev_tail = np.asarray(init_poses[b0:b0 + batch_size])
+            pose_start = 0
+            for d in range(num_div):
+                wav_start = int(pose_start / pose_fps * wav_sr)
+                window = wav_seq[:, wav_start:wav_start + wav_window_len]
+                if window.shape[1] < wav_window_len:   # zero-pad last window
+                    window = np.concatenate([
+                        window,
+                        np.zeros((nb, wav_window_len - window.shape[1]), np.float32)
+                    ], axis=1)
+                if prev_tail is None:
+                    ip = im = None
+                else:
+                    ip = np.zeros((nb, pose_window_len, pose_dim), np.float32)
+                    ip[:, :pose_seed_len] = prev_tail
+                    ip, im = jnp.asarray(ip), jnp.asarray(base_mask)
+                rng, sub = jax.random.split(rng)
+                sample = self.generate_sample(
+                    jnp.asarray(window), pose_dim, pose_window_len, sub,
+                    inpaint_poses=ip, inpaint_masks=im,
+                    sample_alg=sample_alg, trans_factor=trans_factor,
+                    pose_seed_len=pose_seed_len)
+                sample = np.asarray(sample)
+                samples.append(sample)
+                prev_tail = sample[:, -pose_seed_len:]
+                pose_start += stride
+
+            combined = []
+            for i, x in enumerate(samples):
+                if smooth_trans and i > 0:
+                    ratio = np.arange(pose_seed_len, dtype=np.float32)[
+                        None, :, None] / pose_seed_len
+                    trans_x = (x[:, :pose_seed_len] * ratio
+                               + samples[i - 1][:, -pose_seed_len:] * (1.0 - ratio))
+                    x = np.concatenate([trans_x, x[:, pose_seed_len:]], axis=1)
+                combined.append(x[:, :-pose_seed_len] if i < len(samples) - 1 else x)
+            outs.append(np.concatenate(combined, axis=1)[:, :seq_len])
+        return np.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------------
+    def eval_bpd(
+        self,
+        poses: jax.Array,                     # (N, T, C)
+        wavs: jax.Array,                      # (N, T_wav)
+        rng: jax.Array,
+        pose_seed_len: Optional[int] = None,
+    ) -> dict:
+        if self._bpd_jit is None:
+            def fn(variables, poses, wavs, rng):
+                memory = self.model.apply(
+                    variables, wavs, train=False,
+                    method=GestureDenoiser.encode_memory)
+                ip = im = None
+                if self.model.cfg.model_type == "inpaint":
+                    assert pose_seed_len is not None
+                    ip = poses
+                    im = jnp.zeros(poses.shape[:2] + (1,), poses.dtype
+                                   ).at[:, :pose_seed_len].set(1.0)
+                model_fn = self._model_fn(variables, memory, ip, im)
+                return bpd_loop(self.sched, model_fn, poses, rng,
+                                timestep_map=self.timestep_map)
+
+            self._bpd_jit = jax.jit(fn)
+        return self._bpd_jit(self.variables, poses, wavs, rng)
+
+    # ------------------------------------------------------------------
+    def eval_infer_time(
+        self,
+        wavs: jax.Array,
+        pose_dim: int,
+        pose_window_len: int,
+        sample_alg: str = "ddim",
+        repetitions: int = 10,
+        warmup: int = 10,
+    ):
+        """:return: (mean_ms, std_ms, steps_per_sec) over timed reps."""
+        rng = jax.random.key(0)
+        for i in range(warmup):
+            out = self.generate_sample(wavs, pose_dim, pose_window_len,
+                                       jax.random.fold_in(rng, i),
+                                       sample_alg=sample_alg)
+        jax.block_until_ready(out)
+        timings = np.zeros(repetitions)
+        for rep in range(repetitions):
+            t0 = time.perf_counter()
+            out = self.generate_sample(wavs, pose_dim, pose_window_len,
+                                       jax.random.fold_in(rng, 1000 + rep),
+                                       sample_alg=sample_alg)
+            jax.block_until_ready(out)
+            timings[rep] = (time.perf_counter() - t0) * 1e3
+        steps = self.sched.num_timesteps
+        return float(timings.mean()), float(timings.std()), \
+            float(steps / (timings.mean() / 1e3))

@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-node NCCL DDP
+(``utils/pytorch_ddp.py``, SURVEY.md §2).  The TPU-native equivalent is a
+``jax.sharding.Mesh`` with a ``data`` axis (optionally a ``model`` axis for
+head/tensor sharding): parameters are replicated, batches are sharded on
+``data``, and XLA inserts the gradient ``psum`` over ICI automatically when
+the jitted train step consumes sharded batches with replicated params — no
+process groups, ports, or explicit collectives to manage.
+
+Multi-host extension: ``jax.distributed.initialize()`` before mesh creation
+makes the same code span hosts over DCN; per-host data loading uses
+``jax.process_index()`` to slice the dataset (replacing DistributedSampler).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D ("data", "model") mesh; defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    use = devices[: n_data * n_model]
+    arr = np.array(use).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of (N, ...) arrays with N sharded over ``data``."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params / optimizer state) across the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

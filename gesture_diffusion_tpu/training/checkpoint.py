@@ -1,0 +1,58 @@
+"""Checkpointing: one logical checkpoint per run.
+
+The reference saves a per-rank torch dict every epoch and has every rank
+load rank-0's file (``models/trainer.py:200-224``).  With JAX's single-
+controller model there is one logical checkpoint; restore re-shards
+automatically when device count changes.  Format: flax msgpack for the
+array tree + a JSON sidecar for scalar metadata (step, epochs_run, run_id,
+best_metric_value) so runs are inspectable without deserialising weights.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(
+    path: str,
+    array_tree: Dict[str, Any],
+    metadata: Dict[str, Any],
+) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host_tree = jax.tree.map(lambda x: jax.device_get(x), array_tree)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(host_tree))
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+    with open(path + ".meta.json", "w") as f:
+        json.dump(metadata, f, indent=2)
+
+
+def load_checkpoint(
+    path: str, target: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """:param target: a pytree with the right structure (e.g. fresh init)."""
+    with open(path, "rb") as f:
+        tree = serialization.from_bytes(target, f.read())
+    meta_path = path + ".meta.json"
+    metadata = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return tree, metadata
+
+
+def latest_checkpoint(log_dir: str, seed: int) -> Optional[str]:
+    """Auto-resume discovery (reference checks chkpt existence on startup,
+    trainer.py:91-93)."""
+    path = checkpoint_path(log_dir, seed)
+    return path if os.path.exists(path) else None
+
+
+def checkpoint_path(log_dir: str, seed: int) -> str:
+    return os.path.join(log_dir, "chkpts", f"chkpt_seed{seed}.msgpack")

@@ -1,0 +1,280 @@
+"""The training loop: one jitted, donated, mesh-sharded step.
+
+Re-design of the reference Trainer (``models/trainer.py:41-307``):
+
+  * the whole step (timestep draw, q_sample, forward, loss, backward, AdamW
+    update, grad-norm) is ONE jitted function with the state donated —
+    the reference's hidden syncs (per-parameter ``.item()`` grad norm at
+    trainer.py:341-349, host numpy timestep draws at resample.py:58,
+    per-step ``loss.item()``) all disappear;
+  * data parallelism comes from batch sharding over the mesh's ``data``
+    axis with replicated params — XLA inserts the gradient all-reduce;
+  * epochs / validation / best-state tracking / early stopping / per-epoch
+    checkpointing / resume keep the reference's semantics and artifact
+    fields (train_step, epochs_run, best_metric_value, run id).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.gaussian import Schedule
+from ..models.denoiser import GestureDenoiser
+from ..parallel import make_mesh, replicate
+from ..utils.rng import RngStream
+from .checkpoint import checkpoint_path, load_checkpoint, save_checkpoint
+from .data import ArrayDataset, iter_batches
+from .metrics import MetricsLogger, generate_run_id
+from .train_state import TrainState, assemble_losses, clip_gradients
+
+
+def _inpaint_kwargs(model: GestureDenoiser, poses: jax.Array) -> dict:
+    """Seed-pose conditioning tensors for the inpaint variant
+    (trainer.py:140-146): first pose_seed_len frames are the visible seed."""
+    if model.cfg.model_type != "inpaint":
+        return {}
+    seed_len = model.cfg.pose_seed_len
+    mask = jnp.zeros(poses.shape[:2] + (1,), poses.dtype).at[:, :seed_len].set(1.0)
+    return {"inpaint_pose": poses, "inpaint_mask": mask}
+
+
+def make_train_step(
+    model: GestureDenoiser,
+    sched: Schedule,
+    optimizer: optax.GradientTransformation,
+    loss_params: Optional[Dict[str, float]],
+    grad_norm_clip_value: Optional[float] = None,
+    grad_clip_value: Optional[float] = None,
+):
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        t_rng, n_rng, d_rng = jax.random.split(rng, 3)
+        poses, wav = batch["pose"], batch["wav"]
+        t = jax.random.randint(t_rng, (poses.shape[0],), 0, sched.num_timesteps)
+        noise = jax.random.normal(n_rng, poses.shape, poses.dtype)
+        extra = _inpaint_kwargs(model, poses)
+
+        def loss_fn(params):
+            mutated = {}
+
+            def model_fn(x_t, tt):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x_t, tt, wav, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": d_rng}, **extra)
+                mutated["batch_stats"] = mut["batch_stats"]
+                return out
+
+            losses = assemble_losses(sched, model_fn, poses, t, noise, loss_params)
+            return losses["loss"], (losses, mutated["batch_stats"])
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        grads = clip_gradients(grads, grad_norm_clip_value, grad_clip_value)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        metrics = dict(losses)
+        metrics["grad_norm"] = grad_norm
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_val_step(
+    model: GestureDenoiser,
+    sched: Schedule,
+    loss_params: Optional[Dict[str, float]],
+):
+    def val_step(state: TrainState, batch, rng):
+        t_rng, n_rng = jax.random.split(rng)
+        poses, wav = batch["pose"], batch["wav"]
+        t = jax.random.randint(t_rng, (poses.shape[0],), 0, sched.num_timesteps)
+        noise = jax.random.normal(n_rng, poses.shape, poses.dtype)
+        extra = _inpaint_kwargs(model, poses)
+
+        def model_fn(x_t, tt):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x_t, tt, wav, train=False, **extra)
+
+        return assemble_losses(sched, model_fn, poses, t, noise, loss_params)
+
+    return jax.jit(val_step)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: GestureDenoiser,
+        sched: Schedule,
+        optimizer: optax.GradientTransformation,
+        lr_schedule,
+        train_dataset: ArrayDataset,
+        val_dataset: ArrayDataset,
+        batch_size: int,
+        log_dir: str,
+        seed: int = 0,
+        metric: str = "val_loss",
+        goal: str = "minimize",
+        loss_params: Optional[Dict[str, float]] = None,
+        grad_norm_clip_value: Optional[float] = None,
+        grad_clip_value: Optional[float] = None,
+        log_step_gap: int = 100,
+        mesh=None,
+        config: Optional[dict] = None,
+    ):
+        assert goal in ("minimize", "maximize"), f"Unsupported goal: {goal}"
+        self.model = model
+        self.sched = sched
+        self.optimizer = optimizer
+        self.lr_schedule = lr_schedule
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.batch_size = batch_size
+        self.log_dir = log_dir
+        self.seed = seed
+        self.metric = metric
+        self.goal = goal
+        self.loss_params = dict(loss_params) if loss_params else None
+        self.log_step_gap = log_step_gap
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.rngs = RngStream(seed)
+
+        self._train_step = make_train_step(
+            model, sched, optimizer, self.loss_params,
+            grad_norm_clip_value, grad_clip_value)
+        self._val_step = make_val_step(model, sched, self.loss_params)
+
+        # ---- init or resume -------------------------------------------------
+        self.chkpt_path = checkpoint_path(log_dir, seed)
+        sample = {k: v[: max(2, self.mesh.shape["data"])]
+                  for k, v in train_dataset.data.items()}
+        variables = model.init(
+            self.rngs.key("init"),
+            jnp.asarray(sample["pose"]), jnp.zeros((len(sample["pose"]),), jnp.int32),
+            jnp.asarray(sample["wav"]), train=False,
+            **_inpaint_kwargs(model, jnp.asarray(sample["pose"])))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(params, batch_stats,
+                           optimizer.init(params), jnp.asarray(0, jnp.int32))
+        self.best_params = params
+        self.epochs_run = 0
+        self.best_metric_value = np.inf if goal == "minimize" else -np.inf
+        self.run_id = generate_run_id()
+
+        if os.path.exists(self.chkpt_path):
+            tree, meta = load_checkpoint(self.chkpt_path, {
+                "state": state, "best_params": params})
+            state = tree["state"]
+            self.best_params = tree["best_params"]
+            self.epochs_run = meta.get("epochs_run", 0)
+            self.best_metric_value = meta.get("best_metric_value", self.best_metric_value)
+            self.run_id = meta.get("run_id", self.run_id)
+            print(f"[Info] Resuming from {self.chkpt_path} at epoch {self.epochs_run}")
+
+        self.state = TrainState(*replicate(tuple(state), self.mesh))
+        # host-side mirror of state.step: avoids a device sync per batch
+        self._step = int(jax.device_get(state.step))
+        self.logger = MetricsLogger(log_dir, run_id=self.run_id, config=config)
+        if config is not None:
+            import json
+
+            with open(os.path.join(log_dir, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+
+        self.early_stop_counter = 0
+        self.early_stop = False
+
+    # ------------------------------------------------------------------
+    @property
+    def train_step_count(self) -> int:
+        return self._step
+
+    def save(self) -> None:
+        save_checkpoint(
+            self.chkpt_path,
+            {"state": self.state, "best_params": self.best_params},
+            {
+                "train_step": self.train_step_count,
+                "epochs_run": self.epochs_run,
+                "best_metric_value": float(self.best_metric_value),
+                "run_id": self.run_id,
+            },
+        )
+
+    def _run_train_epoch(self) -> None:
+        rng = self.rngs.key("train")
+        data_rng = self.rngs.numpy("shuffle", self.epochs_run)
+        for batch in iter_batches(self.train_dataset, self.batch_size,
+                                  rng=data_rng, mesh=self.mesh):
+            step = self._step
+            self.state, metrics = self._train_step(self.state, batch, rng)
+            self._step += 1
+            if step % self.log_step_gap == 0:
+                record = {f"train/{k}": float(jax.device_get(v))
+                          for k, v in metrics.items()}
+                record["train/step"] = step
+                record["train/lr"] = float(self.lr_schedule(step))
+                self.logger.log(record, step=step)
+
+    def _run_val_epoch(self) -> float:
+        rng = self.rngs.key("val", self.epochs_run)
+        sums: Dict[str, float] = {}
+        n_batches = 0
+        for batch in iter_batches(self.val_dataset, self.batch_size,
+                                  shuffle=False, mesh=self.mesh):
+            losses = self._val_step(self.state, batch, rng)
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))
+            n_batches += 1
+        means = {k: v / max(1, n_batches) for k, v in sums.items()}
+        record = {f"val/{k}": v for k, v in means.items()}
+        record["val/epochs_run"] = self.epochs_run
+        metric_value = record[self.metric.replace("_", "/", 1)]
+        record[self.metric] = metric_value
+        self.logger.log(record, step=self.train_step_count)
+        return metric_value
+
+    def _update_best(self, metric_value: float, early_stop_threshold: int) -> None:
+        improved = (metric_value < self.best_metric_value
+                    if self.goal == "minimize"
+                    else metric_value > self.best_metric_value)
+        if improved:
+            # deep-copy: state buffers are donated to the next train_step
+            self.best_params = jax.tree.map(jnp.copy, self.state.params)
+            self.best_metric_value = metric_value
+            self.early_stop_counter = 0
+        else:
+            self.early_stop_counter += 1
+            if self.early_stop_counter >= early_stop_threshold:
+                self.early_stop = True
+                print("[Info] Early stop threshold reached. Stop training.")
+
+    def train(self, max_epochs: int, early_stop_threshold: int = 10**9) -> None:
+        for _ in range(self.epochs_run, max_epochs):
+            st = time.time()
+            self._run_train_epoch()
+            metric_value = self._run_val_epoch()
+            self.epochs_run += 1
+            self._update_best(metric_value, early_stop_threshold)
+            self.save()
+            print(
+                f"[Info] Epoch {self.epochs_run}/{max_epochs}"
+                f" | step {self.train_step_count}"
+                f" | {self.metric} {metric_value:.6f}"
+                f" | best {self.best_metric_value:.6f}"
+                f" | early-stop {self.early_stop_counter}/{early_stop_threshold}"
+                f" | {time.time() - st:.2f}s"
+            )
+            if self.early_stop:
+                break

@@ -1,0 +1,146 @@
+"""Training-loop tests on the virtual 8-device CPU mesh: loss goes down on a
+synthetic dataset, checkpoints resume exactly, early stopping fires, and
+the lr schedules match the reference's torch scheduler values."""
+
+import os
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
+from gesture_diffusion_tpu.diffusion import make_schedule, linear_betas
+from gesture_diffusion_tpu.parallel import make_mesh
+from gesture_diffusion_tpu.training import (
+    ArrayDataset,
+    Trainer,
+    build_lr_schedule,
+    noam_xf_schedule,
+    wasserstein_distance_1d,
+)
+from gesture_diffusion_tpu.utils import JsonConfig
+
+
+def synthetic_dataset(n=32, t_pose=10, d_pose=12, t_wav=8000, seed=0):
+    """Poses correlated with the wav so there is signal to learn."""
+    rng = np.random.default_rng(seed)
+    wav = rng.normal(0, 0.5, (n, t_wav)).astype(np.float32)
+    base = wav[:, ::t_wav // (t_pose * d_pose)][:, : t_pose * d_pose]
+    pose = 0.8 * base.reshape(n, t_pose, d_pose) + 0.1 * rng.normal(size=(n, t_pose, d_pose))
+    return ArrayDataset({"wav": wav, "pose": pose.astype(np.float32)})
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    cfg = DenoiserConfig(d_pose=12, d_model=32, heads=4, n_layers=1, dropout=0.0)
+    model = GestureDenoiser(cfg)
+    sched = make_schedule(linear_betas(50))
+    return model, sched
+
+
+def _make_trainer(model, sched, tmp, seed=0, lr=3e-4, **kw):
+    train_ds = synthetic_dataset(seed=0)
+    val_ds = synthetic_dataset(n=16, seed=1)
+    optimizer = optax.adamw(lr)
+    return Trainer(
+        model, sched, optimizer, lambda s: lr,
+        train_ds, val_ds, batch_size=16,
+        log_dir=str(tmp), seed=seed, mesh=make_mesh(), **kw)
+
+
+class TestTrainer:
+    def test_loss_decreases(self, small_setup, tmp_path):
+        model, sched = small_setup
+        trainer = _make_trainer(model, sched, tmp_path / "run1", log_step_gap=1)
+        trainer.train(max_epochs=8)
+        records = trainer.logger.read_all()
+        train_losses = [r["train/loss"] for r in records if "train/loss" in r]
+        assert len(train_losses) >= 8
+        assert train_losses[-1] < train_losses[0] * 0.9
+        val_losses = [r["val/loss"] for r in records if "val/loss" in r]
+        assert all(np.isfinite(v) for v in val_losses)
+
+    def test_checkpoint_resume_is_exact(self, small_setup, tmp_path):
+        model, sched = small_setup
+        # run 4 epochs straight
+        t_a = _make_trainer(model, sched, tmp_path / "a")
+        t_a.train(max_epochs=4)
+        # run 2 epochs, "crash", resume to 4
+        t_b = _make_trainer(model, sched, tmp_path / "b")
+        t_b.train(max_epochs=2)
+        t_b2 = _make_trainer(model, sched, tmp_path / "b")
+        assert t_b2.epochs_run == 2
+        assert t_b2.train_step_count == t_b.train_step_count
+        t_b2.train(max_epochs=4)
+        flat_a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(
+            jax.device_get(t_a.state.params))])
+        flat_b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(
+            jax.device_get(t_b2.state.params))])
+        np.testing.assert_allclose(flat_a, flat_b, atol=1e-6)
+
+    def test_early_stopping(self, small_setup, tmp_path):
+        model, sched = small_setup
+        trainer = _make_trainer(model, sched, tmp_path / "es", lr=0.0)
+        trainer.train(max_epochs=50, early_stop_threshold=2)
+        # lr=0: no improvement after the first epoch -> stops at epoch 3
+        assert trainer.early_stop
+        assert trainer.epochs_run <= 4
+
+    def test_speed_losses_run(self, small_setup, tmp_path):
+        model, sched = small_setup
+        trainer = _make_trainer(
+            model, sched, tmp_path / "sl", log_step_gap=1,
+            loss_params={"speed_loss": 0.1, "speed_l1_loss": 0.1,
+                         "speed_constraint_loss": 0.01})
+        trainer.train(max_epochs=1)
+        rec = [r for r in trainer.logger.read_all() if "train/speed" in r][0]
+        for key in ("train/speed", "train/speed_l1", "train/speed_constraint"):
+            assert np.isfinite(rec[key])
+
+    def test_grad_clipping_paths(self, small_setup, tmp_path):
+        model, sched = small_setup
+        trainer = _make_trainer(
+            model, sched, tmp_path / "gc", log_step_gap=1,
+            grad_norm_clip_value=0.5, grad_clip_value=0.1)
+        trainer.train(max_epochs=1)
+        recs = [r for r in trainer.logger.read_all() if "train/grad_norm" in r]
+        assert all(np.isfinite(r["train/grad_norm"]) for r in recs)
+
+
+class TestBatchStatsSharding:
+    def test_params_replicated_batch_sharded(self, small_setup, tmp_path):
+        model, sched = small_setup
+        mesh = make_mesh()
+        assert mesh.shape["data"] == 8  # virtual CPU mesh from conftest
+        trainer = _make_trainer(model, sched, tmp_path / "sh")
+        trainer.train(max_epochs=1)
+        leaf = jax.tree.leaves(trainer.state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+
+class TestLrSchedules:
+    def test_noamxf_matches_reference_values(self):
+        """Golden values from torch NoamLR(d_model=256, warmup=4000, base=1):
+        lr(step k, 0-based) = 256^-0.5 * min((k+1)^-0.5, (k+1)*4000^-1.5)."""
+        sch = noam_xf_schedule(1.0, 256, 4000)
+        for k in [0, 10, 3999, 4000, 100000]:
+            cur = k + 1
+            want = 256 ** -0.5 * min(cur ** -0.5, cur * 4000 ** -1.5)
+            assert float(sch(k)) == pytest.approx(want, rel=1e-5)
+
+    def test_build_from_config(self):
+        cfg = JsonConfig({"type": "noamxf", "warmup_steps": "4k", "d_model": 256})
+        sch = build_lr_schedule(cfg, 1.0)
+        assert float(sch(0)) == pytest.approx(256 ** -0.5 * 4000 ** -1.5, rel=1e-5)
+        const = build_lr_schedule(None, 0.01)
+        assert const(123) == 0.01
+
+
+def test_wasserstein_1d_properties():
+    import jax.numpy as jnp
+
+    a = jnp.asarray(np.random.default_rng(0).normal(0, 1, 100).astype(np.float32))
+    assert float(wasserstein_distance_1d(a, a)) < 1e-5
+    b = a + 2.0
+    assert float(wasserstein_distance_1d(a, b)) == pytest.approx(2.0, abs=1e-3)
