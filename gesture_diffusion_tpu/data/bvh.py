@@ -1,0 +1,178 @@
+"""BVH parsing and writing, dependency-free (no pandas).
+
+Capability parity with the reference's pymo parser/writer
+(``datasets/pymo/parsers.py:53-260``, ``writers.py:4-76``) but restructured:
+one linear tokenizer, a flat joint table in file order, and motion frames as
+a single (T, C) float array with "{joint}_{channel}" column names.  The
+writer regenerates the hierarchy text from the joint table, so golden
+round-trip tests can check bit-level stability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_TOKEN = re.compile(r"[^\s{}:]+|\{|\}")  # ':' dropped ("Frames:" -> "Frames")
+
+
+@dataclasses.dataclass
+class BvhJoint:
+    name: str
+    parent: Optional[str]
+    offset: np.ndarray                 # (3,)
+    channels: List[str]                # [] for End Sites
+    order: str                         # e.g. "XYZ" for rotation channels
+    children: List[str] = dataclasses.field(default_factory=list)
+    is_end_site: bool = False
+
+
+@dataclasses.dataclass
+class BvhData:
+    joints: Dict[str, BvhJoint]        # insertion order == file order
+    root_name: str
+    framerate: float                   # seconds per frame
+    values: np.ndarray                 # (T, C)
+    channel_names: List[Tuple[str, str]]   # [(joint, channel)] in column order
+
+    @property
+    def column_names(self) -> List[str]:
+        return [f"{j}_{c}" for j, c in self.channel_names]
+
+    @property
+    def n_frames(self) -> int:
+        return self.values.shape[0]
+
+    def joint_columns(self, joint_names: List[str]) -> List[int]:
+        """Column indices for the given joints, in joint-list order
+        (JointSelector semantics, ``preprocessing.py:559-599``)."""
+        cols = []
+        for name in joint_names:
+            cols.extend(i for i, (j, _) in enumerate(self.channel_names) if j == name)
+        return cols
+
+
+def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
+    if is_text:
+        text = path_or_text
+    else:
+        with open(path_or_text) as f:
+            text = f.read()
+    tokens = _TOKEN.findall(text)
+    pos = 0
+
+    def peek() -> str:
+        return tokens[pos]
+
+    def take(expect: Optional[str] = None) -> str:
+        nonlocal pos
+        tok = tokens[pos]
+        if expect is not None and tok != expect:
+            raise ValueError(f"BVH parse error: expected {expect!r}, got {tok!r}")
+        pos += 1
+        return tok
+
+    joints: Dict[str, BvhJoint] = {}
+    channel_names: List[Tuple[str, str]] = []
+
+    def parse_joint(parent: Optional[str], kind: str) -> None:
+        nonlocal pos
+        if kind == "End":
+            take("Site")
+            name = f"{parent}_Nub"
+            is_end = True
+        else:
+            name = take()
+            is_end = False
+        take("{")
+        take("OFFSET")
+        offset = np.array([float(take()) for _ in range(3)])
+        channels: List[str] = []
+        order = ""
+        if not is_end:
+            take("CHANNELS")
+            n = int(take())
+            for _ in range(n):
+                ch = take()
+                channels.append(ch)
+                if ch in ("Xrotation", "Yrotation", "Zrotation"):
+                    order += ch[0]
+            channel_names.extend((name, c) for c in channels)
+        elif peek() == "CHANNELS":
+            # The reference's hierarchy template files contain malformed End
+            # Sites WITH a CHANNELS line (e.g. hierarchy_upper.txt around
+            # LeftHandPinky3_Nub).  Real BVH end sites have no channels and
+            # the reference only ever uses these files as raw header text —
+            # consume and ignore, registering no columns.
+            take("CHANNELS")
+            n = int(take())
+            for _ in range(n):
+                take()
+        joints[name] = BvhJoint(name, parent, offset, channels, order,
+                                is_end_site=is_end)
+        if parent is not None:
+            joints[parent].children.append(name)
+        while peek() in ("JOINT", "End"):
+            kind2 = take()
+            parse_joint(name, kind2)
+        take("}")
+
+    take("HIERARCHY")
+    take("ROOT")
+    root_name = tokens[pos]  # parse_joint consumes the name itself
+    parse_joint(None, "ROOT")
+
+    # MOTION section is optional (hierarchy-template files omit it)
+    framerate = 0.0
+    values = np.zeros((0, len(channel_names)))
+    if pos < len(tokens) and peek() == "MOTION":
+        take("MOTION")
+        take("Frames")
+        n_frames = int(take())
+        take("Frame")
+        take("Time")
+        framerate = float(take())
+        flat = np.array([float(t) for t in tokens[pos:pos + n_frames * len(channel_names)]])
+        if flat.size != n_frames * len(channel_names):
+            raise ValueError(
+                f"BVH motion data truncated: expected {n_frames}x{len(channel_names)}, "
+                f"got {flat.size} values")
+        values = flat.reshape(n_frames, len(channel_names))
+
+    return BvhData(joints, root_name, framerate, values, channel_names)
+
+
+def hierarchy_text(data: BvhData) -> str:
+    """Regenerate the HIERARCHY section (tab-indented, 6-decimal offsets —
+    the layout of the reference's hierarchy template files)."""
+    lines: List[str] = ["HIERARCHY"]
+
+    def emit(joint: BvhJoint, depth: int) -> None:
+        ind = "\t" * depth
+        if joint.is_end_site:
+            lines.append(f"{ind}End Site")
+        elif joint.parent is None:
+            lines.append(f"{ind}ROOT {joint.name}")
+        else:
+            lines.append(f"{ind}JOINT {joint.name}")
+        lines.append(f"{ind}{{")
+        off = joint.offset
+        lines.append(f"{ind}\tOFFSET {off[0]:.6f} {off[1]:.6f} {off[2]:.6f}")
+        if not joint.is_end_site:
+            lines.append(f"{ind}\tCHANNELS {len(joint.channels)} "
+                         + " ".join(joint.channels))
+        for child in joint.children:
+            emit(data.joints[child], depth + 1)
+        lines.append(f"{ind}}}")
+
+    emit(data.joints[data.root_name], 0)
+    return "\n".join(lines) + "\n"
+
+
+def write_bvh(data: BvhData, path: str, fmt: str = "%.6f") -> None:
+    header = hierarchy_text(data)
+    header += f"MOTION\nFrames: {data.n_frames}\nFrame Time: {data.framerate}\n"
+    np.savetxt(path, data.values, header=header, comments="", fmt=fmt)

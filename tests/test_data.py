@@ -1,0 +1,338 @@
+"""Data-layer tests: BVH parse/write round trip, downsampling/joint
+selection, FK validated against BOTH a scipy oracle and the reference's
+precomputed nodes.txt asset, windowing math vs the reference's index
+formulas, and the full windowed-dataset pipeline."""
+
+import os
+import pickle
+import re
+
+import numpy as np
+import pytest
+
+from gesture_diffusion_tpu.data import (
+    PoseTypeConverter,
+    Skeleton,
+    parse_bvh,
+    write_bvh,
+)
+from gesture_diffusion_tpu.data.bvh import hierarchy_text
+from gesture_diffusion_tpu.data.pipeline import (
+    WindowedDataset,
+    convert_representation,
+    load_from_bvh,
+    resample_pose_seq,
+    window_slice,
+)
+from gesture_diffusion_tpu.ops.scaler import StandardScaler
+
+REF = "/root/reference"
+
+TOY_BVH = """HIERARCHY
+ROOT Hips
+{
+\tOFFSET 0.000000 0.000000 0.000000
+\tCHANNELS 6 Xposition Yposition Zposition Xrotation Yrotation Zrotation
+\tJOINT Spine
+\t{
+\t\tOFFSET 0.000000 2.000000 0.000000
+\t\tCHANNELS 3 Xrotation Yrotation Zrotation
+\t\tJOINT Head
+\t\t{
+\t\t\tOFFSET 0.000000 1.500000 0.000000
+\t\t\tCHANNELS 3 Xrotation Yrotation Zrotation
+\t\t\tEnd Site
+\t\t\t{
+\t\t\t\tOFFSET 0.000000 0.500000 0.000000
+\t\t\t}
+\t\t}
+\t}
+\tJOINT LeftArm
+\t{
+\t\tOFFSET 1.000000 1.800000 0.000000
+\t\tCHANNELS 3 Xrotation Yrotation Zrotation
+\t\tEnd Site
+\t\t{
+\t\t\tOFFSET 0.800000 0.000000 0.000000
+\t\t}
+\t}
+}
+"""
+
+
+def toy_bvh_with_motion(n_frames=13, framerate=0.008333, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = rng.uniform(-30, 30, (n_frames, 12 + 3))  # 6 root + 3*3 joints
+    lines = [TOY_BVH, "MOTION\n", f"Frames: {n_frames}\n",
+             f"Frame Time: {framerate}\n"]
+    for row in vals:
+        lines.append(" ".join(f"{v:.6f}" for v in row) + "\n")
+    return "".join(lines), vals
+
+
+class TestBvhParser:
+    def test_parse_structure(self):
+        data = parse_bvh(TOY_BVH, is_text=True)
+        assert data.root_name == "Hips"
+        assert list(data.joints) == [
+            "Hips", "Spine", "Head", "Head_Nub", "LeftArm", "LeftArm_Nub"]
+        assert data.joints["Spine"].parent == "Hips"
+        assert data.joints["Hips"].children == ["Spine", "LeftArm"]
+        assert data.joints["Spine"].order == "XYZ"
+        np.testing.assert_allclose(data.joints["Head"].offset, [0, 1.5, 0])
+        assert data.column_names[:3] == [
+            "Hips_Xposition", "Hips_Yposition", "Hips_Zposition"]
+        assert len(data.channel_names) == 15
+
+    def test_parse_motion_and_roundtrip(self, tmp_path):
+        text, vals = toy_bvh_with_motion()
+        data = parse_bvh(text, is_text=True)
+        assert data.framerate == 0.008333
+        np.testing.assert_allclose(data.values, vals, atol=1e-6)
+        p = str(tmp_path / "roundtrip.bvh")
+        write_bvh(data, p)
+        again = parse_bvh(p)
+        np.testing.assert_allclose(again.values, data.values, atol=1e-6)
+        assert list(again.joints) == list(data.joints)
+        np.testing.assert_allclose(
+            again.joints["LeftArm"].offset, data.joints["LeftArm"].offset)
+
+    def test_parses_reference_hierarchy_assets(self):
+        for name, n_joints in [("hierarchy_upper.txt", 62), ("hierarchy.txt", 88)]:
+            data = parse_bvh(os.path.join(REF, "datasets", name))
+            assert data.root_name == "Hips"
+            assert len(data.joints) == n_joints
+            rot_joints = [j for j in data.joints.values() if not j.is_end_site]
+            assert all(j.order == "XYZ" for j in rot_joints)
+
+    def test_hierarchy_text_reference_template_roundtrip(self):
+        src = os.path.join(REF, "datasets", "hierarchy_upper.txt")
+        data = parse_bvh(src)
+        regenerated = hierarchy_text(data)
+        reparsed = parse_bvh(regenerated, is_text=True)
+        assert list(reparsed.joints) == list(data.joints)
+        for a, b in zip(reparsed.joints.values(), data.joints.values()):
+            np.testing.assert_allclose(a.offset, b.offset, atol=1e-6)
+            assert a.channels == b.channels
+
+
+class TestLoadFromBvh:
+    def test_downsample_and_select(self, tmp_path):
+        text, vals = toy_bvh_with_motion(n_frames=25)
+        p = str(tmp_path / "toy.bvh")
+        with open(p, "w") as f:
+            f.write(text)
+        out, duration = load_from_bvh(p, joints=["Spine", "Head", "LeftArm"],
+                                      tgt_fps=20)
+        # 120 fps -> 20 fps: stride 6 over frames[0:-1] -> frames 0, 6, 12, 18
+        assert out.shape == (4, 9)
+        np.testing.assert_allclose(out[1], vals[6, 6:], atol=1e-6)
+        assert duration == pytest.approx(4 / 20)
+
+    def test_framerate_check(self, tmp_path):
+        text, _ = toy_bvh_with_motion(framerate=0.01)
+        p = str(tmp_path / "bad.bvh")
+        with open(p, "w") as f:
+            f.write(text)
+        with pytest.raises(ValueError, match="Framerate"):
+            load_from_bvh(p, joints=["Spine"])
+
+
+class TestForwardKinematics:
+    def test_toy_chain_against_scipy(self):
+        from scipy.spatial.transform import Rotation as R
+
+        sk = Skeleton.from_bvh(parse_bvh(TOY_BVH, is_text=True))
+        eul = np.zeros((1, sk.n_joints, 3))
+        eul[0, sk.joint_index("Spine")] = [0, 0, 90]   # bend spine about z
+        pos = sk.forward_kinematics(eul)[0]
+        # Head = spine_pos + Rz(90) @ [0, 1.5, 0] = [0,2,0] + [-1.5, 0, 0]
+        np.testing.assert_allclose(pos[sk.joint_index("Head")], [-1.5, 2.0, 0.0],
+                                   atol=1e-6)
+        # left arm unaffected by spine rotation (sibling subtree)
+        np.testing.assert_allclose(pos[sk.joint_index("LeftArm")], [1.0, 1.8, 0.0],
+                                   atol=1e-6)
+        # random rotations: against explicit scipy accumulation
+        rng = np.random.default_rng(0)
+        eul = rng.uniform(-45, 45, (1, sk.n_joints, 3))
+        pos = sk.forward_kinematics(eul)[0]
+        mats = R.from_euler("XYZ", eul[0], degrees=True).as_matrix()
+        glob, gpos = {}, {}
+        for j in range(sk.n_joints):
+            p = sk.parents[j]
+            if p < 0:
+                glob[j], gpos[j] = mats[j], np.zeros(3)
+            else:
+                glob[j] = glob[p] @ mats[j]
+                gpos[j] = gpos[p] + glob[p] @ sk.offsets[j]
+        for j in range(sk.n_joints):
+            np.testing.assert_allclose(pos[j], gpos[j], atol=1e-5)
+
+    def test_full_body_rest_pose_matches_reference_nodes_txt(self):
+        """nodes.txt ships the reference's own pyquaternion FK output
+        (abs_pos) for a rest frame of the 84-node full-body hierarchy —
+        an end-to-end golden check of parser + FK."""
+        sk = Skeleton.from_hierarchy_file(os.path.join(REF, "datasets", "hierarchy.txt"))
+        with open(os.path.join(REF, "datasets", "nodes.txt")) as f:
+            text = f.read()
+        entries = re.findall(
+            r"'name': '([^']+)'.*?'rel_degs': (\[[^\]]*\]|None).*?"
+            r"'abs_pos': (?:array\()?\[([^\]]*)\]", text)
+        assert len(entries) == sk.n_joints == 88
+        eul = np.zeros((1, sk.n_joints, 3))
+        want_pos = np.zeros((sk.n_joints, 3))
+        for i, (name, degs, pos) in enumerate(entries):
+            if degs != "None":
+                eul[0, i] = [float(x) for x in degs.strip("[]").split(",")]
+            want_pos[i] = [float(x) for x in pos.replace(",", " ").split()]
+        got = sk.forward_kinematics(eul)[0]
+        np.testing.assert_allclose(got, want_pos, atol=2e-3)
+
+    def test_direction_vectors_and_angle_pairs(self):
+        sk = Skeleton.from_bvh(parse_bvh(TOY_BVH, is_text=True))
+        eul = np.zeros((2, 3, sk.n_joints, 3))
+        vec = sk.direction_vectors(eul)
+        assert vec.shape == (2, 3, sk.n_joints - 1, 3)
+        np.testing.assert_allclose(np.linalg.norm(vec, axis=-1), 1.0, atol=1e-6)
+        pairs = sk.angle_pairs()
+        bones = sk.bones()
+        for a, b in pairs:
+            assert bones[a][1] == bones[b][0]  # chained bones share a joint
+
+    def test_expand_rotations_by_name(self):
+        sk = Skeleton.from_bvh(parse_bvh(TOY_BVH, is_text=True))
+        sub = np.ones((4, 2, 3))  # Spine + Head only
+        full = sk.expand_rotations(sub, ["Spine", "Head"])
+        assert full.shape == (4, sk.n_joints, 3)
+        assert (full[:, sk.joint_index("Spine")] == 1).all()
+        assert (full[:, sk.joint_index("LeftArm")] == 0).all()
+
+
+class TestWindowing:
+    def test_matches_reference_index_math(self):
+        """Oracle: the reference's per-chunk loop (dataset.py:92-121)."""
+        rng = np.random.default_rng(3)
+        n, t, c = 3, 50, 4
+        fps, sr, window, stride = 20, 16000, 40, 20
+        poses = rng.normal(size=(n, t, c)).astype(np.float32)
+        wavs = rng.normal(size=(n, int(t / fps * sr))).astype(np.float32)
+
+        pw, ww = window_slice(poses, wavs, window, stride, fps, sr)
+
+        num_chunks = int(np.ceil(t / stride))
+        wav_window = int(window / fps * sr)
+        padded_p = np.concatenate([poses, np.zeros((n, window, c), np.float32)], 1)
+        padded_w = np.concatenate([wavs, np.zeros((n, wav_window), np.float32)], 1)
+        k = 0
+        for i in range(n):
+            for ch in range(num_chunks):
+                ps = ch * stride
+                np.testing.assert_array_equal(pw[k], padded_p[i, ps:ps + window])
+                ws = int(ps / fps * sr)
+                np.testing.assert_array_equal(ww[k], padded_w[i, ws:ws + wav_window])
+                k += 1
+        assert k == len(pw) == len(ww)
+
+    def test_resample_identity_when_rates_match(self):
+        x = np.arange(40, dtype=np.float32)[:, None]
+        out = resample_pose_seq(x, 2.0, 20)
+        assert out.shape == (40, 1)
+        np.testing.assert_allclose(out[:, 0], x[:, 0], atol=1e-6)
+
+    def test_resample_downsamples(self):
+        x = np.arange(120, dtype=np.float32)[:, None]  # 60 fps for 2 s
+        out = resample_pose_seq(x, 2.0, 20)
+        assert out.shape == (40, 1)
+        np.testing.assert_allclose(out[1, 0], 3.0, atol=1e-6)
+
+
+class TestConvertRepresentation:
+    def test_log_rot_roundtrip_and_continuity(self):
+        rng = np.random.default_rng(4)
+        eul = rng.uniform(-60, 60, (2, 30, 2, 3)).astype(np.float64)
+        flat = eul.reshape(2, 30, -1)
+        out = convert_representation(flat, "log_rot")
+        assert out.shape == (2, 30, 6)
+        from gesture_diffusion_tpu.ops import rotation as rot
+
+        back = np.asarray(rot.rotvec_to_euler(out.reshape(2, 30, 2, 3)))
+        np.testing.assert_allclose(back, eul, atol=1e-3)
+
+    def test_6d_shape(self):
+        flat = np.zeros((1, 5, 6))
+        out = convert_representation(flat, "6d")
+        assert out.shape == (1, 5, 12)
+
+
+class TestWindowedDataset:
+    def _make_samples(self, tmp, split, n=3, seconds=4, seed=0):
+        rng = np.random.default_rng(seed)
+        fps120, sr = 120, 16000
+        pose = rng.uniform(-40, 40, (n, seconds * fps120, 6)).astype(np.float32)
+        wav = rng.normal(0, 0.3, (n, seconds * sr)).astype(np.float32)
+        path = os.path.join(tmp, f"{split}_samples.pkl")
+        with open(path, "wb") as f:
+            pickle.dump({"hid": np.zeros(n), "pose": pose, "wav": wav}, f)
+        return path
+
+    def test_pipeline_and_cache(self, tmp_path):
+        spt = str(tmp_path / "spt")
+        dst = str(tmp_path / "dst")
+        os.makedirs(spt)
+        self._make_samples(spt, "train")
+        ds = WindowedDataset(
+            os.path.join(spt, "train_samples.pkl"), dst,
+            pose_window_len=40, pose_stride_len=20, pose_fps=20,
+            wav_sr=16000, pose_representation="log_rot")
+        # 4 s -> 80 frames @20fps, ceil(80/20)=4 chunks x 3 samples
+        assert ds.poses.shape == (12, 40, 6)
+        assert ds.wavs.shape == (12, 32000)
+        assert ds.get_dims() == {"d_pose": 6}
+        # scaler was fit on train and persisted
+        sc = StandardScaler.load(os.path.join(dst, "scaler.npz"))
+        assert np.isfinite(sc.mean).all()
+        # cache hit: same arrays
+        ds2 = WindowedDataset(
+            os.path.join(spt, "train_samples.pkl"), dst,
+            pose_window_len=40, pose_stride_len=20, pose_fps=20,
+            wav_sr=16000, pose_representation="log_rot")
+        np.testing.assert_array_equal(ds.poses, ds2.poses)
+
+    def test_test_split_keeps_seqs(self, tmp_path):
+        spt = str(tmp_path / "spt")
+        dst = str(tmp_path / "dst")
+        os.makedirs(spt)
+        self._make_samples(spt, "train")
+        self._make_samples(spt, "test", seed=1)
+        WindowedDataset(os.path.join(spt, "train_samples.pkl"), dst,
+                        40, 20, 20, 16000, "log_rot")
+        ds = WindowedDataset(os.path.join(spt, "test_samples.pkl"), dst,
+                             40, 40, 20, 16000, "log_rot", keep_seqs=True)
+        seqs = ds.get_seqs()
+        assert seqs["pose"].shape == (3, 80, 6)
+        assert seqs["wav"].shape == (3, 64000)
+
+
+class TestPoseTypeConverter:
+    def test_dir_vec_and_euler_paths(self, tmp_path):
+        hier = os.path.join(REF, "datasets", "hierarchy_upper.txt")
+        joints = ["Spine", "Spine1", "Spine2"]
+        rng = np.random.default_rng(5)
+        eul = rng.uniform(-30, 30, (2, 4, 3, 3))
+        rv = convert_representation(eul.reshape(2, 4, -1), "log_rot")
+        sc = StandardScaler.fit(rv.reshape(-1, 9))
+        scp = str(tmp_path / "scaler.npz")
+        sc.save(scp)
+        scaled = sc.transform(rv.reshape(-1, 9)).reshape(2, 4, 9)
+
+        ptc = PoseTypeConverter(scp, hier, joint_names=joints)
+        dv = ptc.scaled_log_rot_to_dir_vec(scaled)
+        n_bones = ptc.skeleton.n_joints - 1
+        assert dv.shape == (2, 4, n_bones * 3)
+        dvr = dv.reshape(2, 4, -1, 3)
+        np.testing.assert_allclose(np.linalg.norm(dvr, axis=-1), 1.0, atol=1e-4)
+        assert len(ptc.angle_pairs) > 0
+
+        back = ptc.scaled_log_rot_to_euler(scaled)
+        assert back.shape == (2, 4, 9)
+        np.testing.assert_allclose(back, eul.reshape(2, 4, -1), atol=1e-2)
