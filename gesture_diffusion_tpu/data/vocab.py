@@ -1,0 +1,50 @@
+"""Word vocabulary for the prep phase.
+
+Capability parity with the HA2G ``Vocab`` (reference
+``models/modules/ha2g/model/vocab.py:8-130``) minus the fasttext dependency
+(not installed here): word<->index maps with reserved PAD/SOS/EOS/UNK ids,
+optional embedding table loaded from a .npy/.npz word-vector dump.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+PAD_token, SOS_token, EOS_token, UNK_token = 0, 1, 2, 3
+
+
+class Vocab:
+    def __init__(self, name: str):
+        self.name = name
+        self.word2index = {}
+        self.index2word = {
+            PAD_token: "<PAD>", SOS_token: "<SOS>",
+            EOS_token: "<EOS>", UNK_token: "<UNK>"}
+        self.n_words = len(self.index2word)
+        self.word_embeddings = None
+
+    def index_word(self, word: str) -> int:
+        if word not in self.word2index:
+            self.word2index[word] = self.n_words
+            self.index2word[self.n_words] = word
+            self.n_words += 1
+        return self.word2index[word]
+
+    def get_word_index(self, word: str) -> int:
+        return self.word2index.get(word, UNK_token)
+
+    def load_word_vectors(self, path: "str | None", dim: int = 300) -> None:
+        """Attach pretrained vectors from an .npz {word: vec} dump; absent
+        path -> random-normal embeddings on demand."""
+        self._pretrained_path = path
+        self._dim = dim
+
+    def build_embedding_table(self, rng: np.random.Generator) -> np.ndarray:
+        table = rng.normal(0, 0.1, (self.n_words, self._dim)).astype(np.float32)
+        if getattr(self, "_pretrained_path", None):
+            with np.load(self._pretrained_path, allow_pickle=True) as z:
+                for word, idx in self.word2index.items():
+                    if word in z:
+                        table[idx] = z[word]
+        self.word_embeddings = table
+        return table

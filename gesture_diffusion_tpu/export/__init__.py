@@ -1,0 +1,9 @@
+from .pose2bvh import (
+    pose2bvh,
+    pose2bvh_consistent,
+    sample2bvh_batch,
+    butter_lowpass_filter,
+)
+
+__all__ = ["pose2bvh", "pose2bvh_consistent", "sample2bvh_batch",
+           "butter_lowpass_filter"]

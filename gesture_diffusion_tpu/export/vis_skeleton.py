@@ -1,0 +1,128 @@
+"""Skeleton visualisation: stick-figure stills and animations.
+
+Capability parity with ``utils/vis_skeleton.py:16-591`` but generic: the
+node tree, FK, and zero-insertion for joint subsets all come from
+``data.Skeleton`` (derived from the hierarchy text) instead of the
+reference's hand-coded per-layout index tables.
+
+Output formats depend on available writers: ffmpeg is not in this image, so
+animations save as GIF (pillow writer) or a directory of PNG frames; audio
+is written alongside as .wav (the reference muxed with moviepy).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..data.skeleton import Skeleton
+
+
+def pose_to_positions(
+    skeleton: Skeleton,
+    pose_euler: np.ndarray,               # (T, K*3) euler degrees, subset
+    joint_names: Sequence[str],
+) -> np.ndarray:
+    """(T, K*3) -> (T, J, 3) global positions (zeros scattered into
+    non-predicted joints, replacing ``vis_skeleton.py:149-204``)."""
+    t = len(pose_euler)
+    eul = skeleton.expand_rotations(
+        pose_euler.reshape(t, -1, 3), list(joint_names))
+    return skeleton.forward_kinematics(eul)
+
+
+def plot_skeleton(positions: np.ndarray, skeleton: Skeleton,
+                  output_path: str = "skeleton.jpg", lim: float = 100.0) -> None:
+    """positions: (J, 3) one frame -> matplotlib 3-D scatter + bones."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(dpi=150)
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(positions[:, 0], positions[:, 2], zs=positions[:, 1], s=2)
+    for p, c in skeleton.bones():
+        ax.plot([positions[p, 0], positions[c, 0]],
+                [positions[p, 2], positions[c, 2]],
+                [positions[p, 1], positions[c, 1]], c="blue", linewidth=0.5)
+    ax.set_xlabel("x"); ax.set_ylabel("z"); ax.set_zlabel("y")
+    ax.set_xlim(-lim, lim); ax.set_ylim(lim, -lim); ax.set_zlim(-lim, lim)
+    plt.savefig(output_path)
+    plt.close(fig)
+
+
+def make_skeleton_video(
+    positions: np.ndarray,                # (T, J, 3)
+    skeleton: Skeleton,
+    output_path: str,
+    fps: int = 20,
+    wav: Optional[np.ndarray] = None,
+    wav_sr: int = 16000,
+    lim: float = 100.0,
+) -> str:
+    """Animate the skeleton.  Writes a .gif (pillow) when output_path ends
+    in .gif, otherwise a directory of PNG frames; audio (if given) is saved
+    next to it as .wav.  Returns the path written."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    fig = plt.figure(dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+    bones = skeleton.bones()
+
+    def draw(i):
+        ax.clear()
+        pos = positions[i]
+        ax.scatter(pos[:, 0], pos[:, 2], zs=pos[:, 1], s=2)
+        for p, c in bones:
+            ax.plot([pos[p, 0], pos[c, 0]], [pos[p, 2], pos[c, 2]],
+                    [pos[p, 1], pos[c, 1]], c="blue", linewidth=0.5)
+        ax.set_xlim(-lim, lim); ax.set_ylim(lim, -lim); ax.set_zlim(-lim, lim)
+
+    if wav is not None:
+        from scipy.io import wavfile
+
+        wav_path = os.path.splitext(output_path)[0] + ".wav"
+        wavfile.write(wav_path, wav_sr, np.asarray(wav))
+
+    if output_path.endswith(".gif"):
+        anim = FuncAnimation(fig, draw, frames=len(positions),
+                             interval=1000 / fps)
+        anim.save(output_path, writer=PillowWriter(fps=fps))
+        plt.close(fig)
+        return output_path
+
+    os.makedirs(output_path, exist_ok=True)
+    for i in range(len(positions)):
+        draw(i)
+        fig.savefig(os.path.join(output_path, f"frame_{i:05d}.png"))
+    plt.close(fig)
+    return output_path
+
+
+def visualize_sample_skeleton(
+    sample_path: str,
+    hierarchy_path: str,
+    joint_names: Sequence[str],
+    output_path: str,
+    fps: int = 20,
+    which: str = "out",
+) -> str:
+    """Render one generated sample pickle ({"pose","out","wav"}) to an
+    animation (``vis_skeleton.py:339`` equivalent)."""
+    import pickle
+
+    with open(sample_path, "rb") as f:
+        sample = pickle.load(f)
+    skeleton = Skeleton.from_hierarchy_file(hierarchy_path)
+    positions = pose_to_positions(
+        skeleton, np.asarray(sample[which]), joint_names)
+    return make_skeleton_video(
+        positions, skeleton, output_path, fps=fps,
+        wav=sample.get("wav"), wav_sr=16000)

@@ -1,0 +1,167 @@
+"""Beat metrics, onset detection, and BVH export tests."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from gesture_diffusion_tpu.generation import eval_utils as ev
+from gesture_diffusion_tpu.export import pose2bvh, sample2bvh_batch
+from gesture_diffusion_tpu.export.pose2bvh import smooth_pose_euler
+from gesture_diffusion_tpu.data import parse_bvh
+
+REF_HIER = "/root/reference/datasets/hierarchy_upper.txt"
+
+
+class TestOnsetDetection:
+    def test_detects_click_train(self):
+        """Clicks every 0.5 s must produce onsets near 0.5 s multiples."""
+        sr = 16000
+        wav = np.random.default_rng(0).normal(0, 0.001, sr * 4).astype(np.float32)
+        click_times = np.arange(0.5, 3.6, 0.5)
+        for ct in click_times:
+            i = int(ct * sr)
+            wav[i:i + 400] += np.sin(2 * np.pi * 1000 * np.arange(400) / sr) * \
+                np.hanning(400) * 0.8
+        onsets = ev.onset_detect(wav, sr)
+        assert len(onsets) >= 5
+        for ct in click_times:
+            assert np.abs(onsets - ct).min() < 0.08
+
+    def test_silence_has_no_onsets(self):
+        sr = 16000
+        wav = np.zeros(sr * 2, np.float32)
+        assert len(ev.onset_detect(wav, sr)) == 0
+
+    def test_peak_pick_spacing(self):
+        x = np.zeros(100)
+        x[[10, 12, 50]] = [1.0, 0.9, 1.0]
+        peaks = ev.peak_pick(x, 3, 3, 10, 10, 0.05, wait=5)
+        assert 10 in peaks and 50 in peaks and 12 not in peaks
+
+
+class TestMotionBeats:
+    def _oscillating_dir_vecs(self, beat_period_frames=10, t=80, n=2):
+        """Arm swinging: angle between two bones oscillates; direction
+        reversals (speed minima) are the motion beats."""
+        frames = np.arange(t)
+        angle = 0.5 * np.cos(2 * np.pi * frames / beat_period_frames)
+        v1 = np.stack([np.cos(angle), np.sin(angle), np.zeros(t)], -1)
+        v2 = np.tile([1.0, 0, 0], (t, 1))
+        dv = np.stack([v1, v2], axis=1)          # (T, 2 joints, 3)
+        return np.tile(dv[None], (n, 1, 1, 1))
+
+    def test_angle_change_rate_shape_and_zeros(self):
+        dv = self._oscillating_dir_vecs()
+        rate = ev.compute_angle_change_rate(dv, [[0, 1]])
+        assert rate.shape == (2, 80)
+        np.testing.assert_allclose(rate[:, 0], 0.0)
+        assert rate.max() > 0
+
+    def test_extract_motion_beats_finds_reversals(self):
+        dv = self._oscillating_dir_vecs(beat_period_frames=20)
+        rate = ev.compute_angle_change_rate(dv, [[0, 1]])
+        beats = ev.extract_motion_beat_times(rate[0], motion_fps=20, thres=0.03)
+        assert len(beats) >= 5  # reversal every half period = 0.5 s over 4 s
+
+    def test_beat_recall_self_is_one(self):
+        dv = self._oscillating_dir_vecs()
+        score = ev.beat_recall_score(dv, dv, 20, [[0, 1]])
+        assert score == pytest.approx(1.0, abs=1e-6)
+
+    def test_beat_recall_mismatch_is_lower(self):
+        a = self._oscillating_dir_vecs(beat_period_frames=10)
+        b = self._oscillating_dir_vecs(beat_period_frames=14)
+        self_score = ev.beat_recall_score(b, b, 20, [[0, 1]])
+        cross = ev.beat_recall_score(a, b, 20, [[0, 1]])
+        assert cross < self_score + 1e-9
+
+    def test_beat_consistency_runs(self):
+        sr = 16000
+        dv = self._oscillating_dir_vecs(t=80)
+        wav = np.random.default_rng(1).normal(0, 0.01, (2, 4 * sr)).astype(np.float32)
+        for i in range(2):
+            for ct in np.arange(0.5, 3.6, 0.5):
+                j = int(ct * sr)
+                wav[i, j:j + 400] += 0.8 * np.hanning(400)
+        score = ev.beat_consistency_score(dv, 20, [[0, 1]], wav, sr)
+        assert np.isfinite(score) and 0.0 <= score <= 1.0
+
+
+BEAT_JOINTS_41 = [
+    "Spine1", "Spine2", "Spine3",
+    "RightShoulder", "RightArm", "RightForeArm", "RightHand",
+    "RightHandMiddle1", "RightHandMiddle2", "RightHandMiddle3",
+    "RightHandRing1", "RightHandRing2", "RightHandRing3",
+    "RightHandPinky1", "RightHandPinky2", "RightHandPinky3",
+    "RightHandIndex1", "RightHandIndex2", "RightHandIndex3",
+    "RightHandThumb1", "RightHandThumb2", "RightHandThumb3",
+    "LeftShoulder", "LeftArm", "LeftForeArm", "LeftHand",
+    "LeftHandMiddle1", "LeftHandMiddle2", "LeftHandMiddle3",
+    "LeftHandRing1", "LeftHandRing2", "LeftHandRing3",
+    "LeftHandPinky1", "LeftHandPinky2", "LeftHandPinky3",
+    "LeftHandIndex1", "LeftHandIndex2", "LeftHandIndex3",
+    "LeftHandThumb1", "LeftHandThumb2", "LeftHandThumb3",
+]
+
+
+class TestExport:
+    def test_pose2bvh_verbatim_reference_mode(self, tmp_path):
+        """The reference's mode: pose columns under the template header
+        verbatim (structurally inconsistent — 126 values vs 156 declared —
+        kept for artifact parity)."""
+        hier = open(REF_HIER).read()
+        pose = np.random.default_rng(0).uniform(-20, 20, (10, 123))
+        p = str(tmp_path / "out.bvh")
+        pose2bvh(p, pose, hier, fps=20, root_translation=[1, 2, 3])
+        lines = open(p).read().splitlines()
+        assert "MOTION" in open(p).read()
+        assert len(lines[-1].split()) == 126
+
+    def test_pose2bvh_consistent_roundtrip(self, tmp_path):
+        from gesture_diffusion_tpu.export import pose2bvh_consistent
+
+        pose = np.random.default_rng(0).uniform(-20, 20, (10, 123))
+        p = str(tmp_path / "out.bvh")
+        pose2bvh_consistent(p, pose, REF_HIER, BEAT_JOINTS_41, fps=20,
+                            root_translation=[1, 2, 3])
+        data = parse_bvh(p)
+        assert data.framerate == pytest.approx(0.05)
+        assert data.n_frames == 10
+        np.testing.assert_allclose(data.values[0, :3], [1, 2, 3])
+        # predicted joint columns round-trip
+        cols = data.joint_columns(["Spine1"])
+        np.testing.assert_allclose(data.values[:, cols], pose[:, :3], atol=1e-5)
+        # non-predicted joints are zero
+        neck = data.joint_columns(["Neck"])
+        np.testing.assert_allclose(data.values[:, neck], 0.0)
+
+    def test_filter_smooths(self):
+        rng = np.random.default_rng(2)
+        t = np.linspace(0, 4, 80)
+        pose = 20 * np.sin(2 * np.pi * t)[:, None] + rng.normal(0, 5, (80, 6))
+        smoothed = smooth_pose_euler(pose)
+        assert smoothed.shape == pose.shape
+        rough = np.abs(np.diff(pose, axis=0)).mean()
+        smooth = np.abs(np.diff(smoothed, axis=0)).mean()
+        assert smooth < rough * 0.7
+
+    def test_sample2bvh_batch(self, tmp_path):
+        sample_dir = tmp_path / "samples"
+        os.makedirs(sample_dir)
+        rng = np.random.default_rng(3)
+        for i in range(2):
+            with open(sample_dir / f"sample_{i}.pkl", "wb") as f:
+                pickle.dump({
+                    "pose": rng.uniform(-10, 10, (8, 123)),
+                    "out": rng.uniform(-10, 10, (8, 123)),
+                    "wav": rng.normal(0, 0.1, 16000).astype(np.float32),
+                }, f)
+        out_dir = str(tmp_path / "bvh")
+        written = sample2bvh_batch(str(sample_dir), out_dir, REF_HIER,
+                                   joint_names=BEAT_JOINTS_41)
+        assert len(written) == 6
+        assert all(os.path.exists(p) for p in written)
+        parsed = parse_bvh(os.path.join(out_dir, "sample_0-out.bvh"))
+        assert parsed.n_frames == 8

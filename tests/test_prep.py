@@ -1,0 +1,145 @@
+"""Prep-phase tests: synthetic BEAT-format corpus -> sample pickles."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from gesture_diffusion_tpu.data.beat import load_wav, split_dataset
+from gesture_diffusion_tpu.data.textgrid import read_textgrid
+
+SAMPLE_TEXTGRID = """File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 30.0
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 30.0
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0.0
+            xmax = 6.0
+            text = ""
+        intervals [2]:
+            xmin = 6.0
+            xmax = 7.5
+            text = "hello"
+        intervals [3]:
+            xmin = 7.5
+            xmax = 30.0
+            text = "world"
+"""
+
+
+def _write_toy_bvh(path, seconds=30, fps=120, seed=0):
+    rng = np.random.default_rng(seed)
+    n = seconds * fps
+    header = (
+        "HIERARCHY\nROOT Hips\n{\n"
+        "\tOFFSET 0 0 0\n"
+        "\tCHANNELS 6 Xposition Yposition Zposition Xrotation Yrotation Zrotation\n"
+        "\tJOINT Spine\n\t{\n\t\tOFFSET 0 2 0\n"
+        "\t\tCHANNELS 3 Xrotation Yrotation Zrotation\n"
+        "\t\tEnd Site\n\t\t{\n\t\t\tOFFSET 0 1 0\n\t\t}\n\t}\n}\n"
+        f"MOTION\nFrames: {n}\nFrame Time: 0.008333\n"
+    )
+    vals = rng.uniform(-30, 30, (n, 9))
+    with open(path, "w") as f:
+        f.write(header)
+        for row in vals:
+            f.write(" ".join(f"{v:.4f}" for v in row) + "\n")
+
+
+def _write_toy_wav(path, seconds=30, sr=8000, seed=0):
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(seed)
+    data = (rng.normal(0, 0.1, seconds * sr) * 32767 * 0.2).astype(np.int16)
+    wavfile.write(path, sr, data)
+
+
+def test_read_textgrid(tmp_path):
+    p = str(tmp_path / "a.TextGrid")
+    with open(p, "w") as f:
+        f.write(SAMPLE_TEXTGRID)
+    tiers = read_textgrid(p)
+    assert len(tiers) == 1
+    assert [iv.mark for iv in tiers[0]] == ["", "hello", "world"]
+    assert tiers[0][1].min_time == pytest.approx(6.0)
+    assert tiers[0][2].max_time == pytest.approx(30.0)
+
+
+def test_load_wav_resamples_and_scales(tmp_path):
+    p = str(tmp_path / "a.wav")
+    _write_toy_wav(p, seconds=2, sr=8000)
+    wav = load_wav(p, 16000)
+    assert wav.shape == (32000,)
+    assert wav.dtype == np.float32
+    assert np.abs(wav).max() <= 1.0
+
+
+def test_split_dataset_end_to_end(tmp_path):
+    src = tmp_path / "BEAT" / "1"
+    os.makedirs(src)
+    # 12 recordings of 30 s -> after 5 s base-time sync, 25 s each
+    # -> 2 chunks of 10 s each = 24 samples, split 8:1:1
+    for i in range(12):
+        base = str(src / f"1_speaker_0_{i}_{i}")
+        _write_toy_bvh(base + ".bvh", seed=i)
+        _write_toy_wav(base + ".wav", seed=i)
+        with open(base + ".TextGrid", "w") as f:
+            f.write(SAMPLE_TEXTGRID)
+    spt = str(tmp_path / "spt")
+    split_dataset(
+        src_dir_path=str(tmp_path / "BEAT"), human_ids=[1], wav_sr=16000,
+        sample_duration=10.0, spt_dir_path=spt,
+        pose_fps=20, joints=["Spine"])
+
+    with open(os.path.join(spt, "train_samples.pkl"), "rb") as f:
+        train = pickle.load(f)
+    with open(os.path.join(spt, "val_samples.pkl"), "rb") as f:
+        val = pickle.load(f)
+    with open(os.path.join(spt, "test_samples.pkl"), "rb") as f:
+        test = pickle.load(f)
+    n_total = len(train["pose"]) + len(val["pose"]) + len(test["pose"])
+    assert n_total == 24
+    assert len(train["pose"]) == 19  # 80% of 24 (sklearn rounds test up)
+    assert sorted([len(val["pose"]), len(test["pose"])]) == [2, 3]
+    assert train["pose"].shape[1:] == (200, 3)     # 10 s @ 20 fps, 1 joint
+    assert train["wav"].shape[1:] == (160000,)     # 10 s @ 16 kHz
+    assert train["word_id"].shape[1:] == (200,)
+    # words got indexed
+    with open(os.path.join(spt, "vocab.pkl"), "rb") as f:
+        vocab = pickle.load(f)
+    assert vocab.get_word_index("hello") >= 4
+    assert (train["word_id"] > 0).any()
+
+
+def test_split_dataset_skips_broken_recordings(tmp_path):
+    src = tmp_path / "BEAT" / "1"
+    os.makedirs(src)
+    for i in range(12):
+        base = str(src / f"rec_{i}")
+        _write_toy_bvh(base + ".bvh", seed=i)
+        _write_toy_wav(base + ".wav", seed=i)
+        with open(base + ".TextGrid", "w") as f:
+            f.write(SAMPLE_TEXTGRID)
+    # recording with missing wav: logged and skipped
+    _write_toy_bvh(str(src / "rec_broken.bvh"))
+    with open(str(src / "rec_broken.TextGrid"), "w") as f:
+        f.write(SAMPLE_TEXTGRID)
+    spt = str(tmp_path / "spt")
+    split_dataset(str(tmp_path / "BEAT"), [1], 16000, 10.0, spt,
+                  pose_fps=20, joints=["Spine"])
+    log = open(os.path.join(spt, "split_dataset.log")).read()
+    assert "rec_broken" in log and "[Error]" in log
+    with open(os.path.join(spt, "train_samples.pkl"), "rb") as f:
+        train = pickle.load(f)
+    assert len(train["pose"]) == 19
