@@ -34,7 +34,7 @@ def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
     div = np.exp(two_i * -(math.log(10000.0) / d_model))
     pe = np.zeros((max_len, d_model), np.float32)
     pe[:, 0::2] = np.sin(pos * div)
-    pe[:, 1::2] = np.cos(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)[:, : d_model // 2]  # odd d_model safe
     return pe
 
 

@@ -70,9 +70,17 @@ class DenoiserConfig:
     n_layers: int = 4
     dropout: float = 0.0
     model_type: str = "s2g_v2"            # default | s2g_v2 | inpaint
-    decoder_type: str = "oneway_cross_attention"  # | cross_attention
+    decoder_type: str = "oneway_cross_attention"
+    # ^ | cross_attention | cross_attention_gcn | unet_attention
     pose_seed_len: int = 10               # inpaint only
     dtype: Optional[str] = None           # e.g. "bfloat16"
+    # cross_attention_gcn extras
+    graph_layout: str = "beat"
+    graph_strategy: str = "spatial"
+    # unet_attention extras
+    channel_mult: tuple = (1, 2, 4)
+    attention_resolutions: tuple = (1, 2, 4)
+    window_len: int = 40
 
     @property
     def jax_dtype(self):
@@ -87,14 +95,28 @@ class GestureDenoiser(nn.Module):
         dt = c.jax_dtype
         self.speech_encoder = HA2GSpeechEncoder(c.d_model, c.dropout, dtype=dt)
         self.step_encoder = DiffusionStepEncoder(c.d_model, c.dropout, dtype=dt)
-        dec_cls = {
-            "oneway_cross_attention": OnewayCrossAttention,
-            "cross_attention": CrossAttention,
-        }[c.decoder_type]
-        self.decoder = dec_cls(
-            d_x=c.d_pose, d_memory=c.d_model, d_model=c.d_model,
-            heads=c.heads, n_layers=c.n_layers, d_out=c.d_pose,
-            dropout=c.dropout, dtype=dt)
+        common = dict(d_x=c.d_pose, d_memory=c.d_model, d_model=c.d_model,
+                      heads=c.heads, n_layers=c.n_layers, d_out=c.d_pose,
+                      dropout=c.dropout, dtype=dt)
+        if c.decoder_type == "oneway_cross_attention":
+            self.decoder = OnewayCrossAttention(**common)
+        elif c.decoder_type == "cross_attention":
+            self.decoder = CrossAttention(**common)
+        elif c.decoder_type == "cross_attention_gcn":
+            from .gcn_decoder import CrossAttentionGCN
+
+            self.decoder = CrossAttentionGCN(
+                graph_layout=c.graph_layout, graph_strategy=c.graph_strategy,
+                **common)
+        elif c.decoder_type == "unet_attention":
+            from .unet_decoder import UNetAttn
+
+            self.decoder = UNetAttn(
+                channel_mult=tuple(c.channel_mult),
+                attention_resolutions=tuple(c.attention_resolutions),
+                window_len=c.window_len, **common)
+        else:
+            raise ValueError(f"Unsupported decoder type {c.decoder_type}")
         if c.model_type == "s2g_v2":
             self.blend_layer = nn.Dense(c.d_model, dtype=dt)
         if c.model_type == "inpaint":

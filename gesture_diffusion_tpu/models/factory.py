@@ -21,24 +21,42 @@ from ..training.lr_schedule import build_lr_schedule
 from .denoiser import DenoiserConfig, GestureDenoiser
 
 
+SUPPORTED_DECODERS = ("oneway_cross_attention", "cross_attention",
+                      "cross_attention_gcn", "unet_attention")
+
+
 def build_model(d_pose: int, model_params, dtype: "str | None" = None) -> GestureDenoiser:
     decoder_params = model_params.get("Decoder")
-    if decoder_params.type not in ("oneway_cross_attention", "cross_attention"):
+    if decoder_params.type not in SUPPORTED_DECODERS:
         raise ValueError(f"Unsupported decoder type {decoder_params.type}")
     encoder_params = model_params.get("Encoder")
     if encoder_params is not None and encoder_params.get("type", "ha2g") != "ha2g":
         raise ValueError(f"Unsupported encoder type {encoder_params.type}")
     gen = model_params.get("Generate")
+    extras = {}
+    if decoder_params.type == "cross_attention_gcn":
+        extras = dict(graph_layout=decoder_params.get("graph_layout", "beat"),
+                      graph_strategy=decoder_params.get("graph_strategy", "spatial"))
+    elif decoder_params.type == "unet_attention":
+        # reference schema (model_creation.py:106-120): num_res_blocks,
+        # channel_mult, attention_resolutions, window_len, num_heads
+        extras = dict(
+            channel_mult=tuple(decoder_params.get("channel_mult", (1, 2, 4))),
+            attention_resolutions=tuple(
+                decoder_params.get("attention_resolutions", (1, 2, 4))),
+            window_len=decoder_params.get("window_len", 40))
     cfg = DenoiserConfig(
         d_pose=d_pose,
         d_model=model_params.d_model,
-        heads=decoder_params.heads,
-        n_layers=decoder_params.n_layers,
+        heads=decoder_params.get("heads", decoder_params.get("num_heads", 8)),
+        n_layers=decoder_params.get("n_layers",
+                                    decoder_params.get("num_res_blocks", 4)),
         dropout=model_params.get("dropout_prob", 0.0),
         model_type=model_params.get("type", "s2g_v2"),
         decoder_type=decoder_params.type,
         pose_seed_len=(gen.get("pose_seed_len", 10) if gen is not None else 10),
         dtype=dtype,
+        **extras,
     )
     return GestureDenoiser(cfg)
 
