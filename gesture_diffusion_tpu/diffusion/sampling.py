@@ -27,6 +27,7 @@ from .gaussian import (
     mean_flat,
     p_mean_variance,
     predict_eps_from_xstart,
+    predict_xstart_from_eps,
     q_mean_variance,
     q_posterior_mean_variance,
     q_sample,
@@ -88,28 +89,36 @@ def ddim_sample_loop(
     (reference ``ddim_sample_loop``, ``gaussian_diffusion.py:414-529``)."""
     model_fn = wrap_respaced(model_fn, timestep_map)
     n = noise.shape[0]
+    deterministic = eta == 0.0
 
     def body(carry, i):
         x, key = carry
         t = jnp.full((n,), i, dtype=jnp.int32)
-        out = p_mean_variance(sched, model_fn, x, t, denoise_fn=denoise_fn)
-        # re-derive eps from (possibly denoise_fn-blended) x0_hat
-        eps = predict_eps_from_xstart(sched, x, t, out["pred_x_start"])
-        a_bar = _gather(sched.alphas_cumprod, t, x.ndim)
+        eps = model_fn(x, t)
+        pred_x_start = predict_xstart_from_eps(sched, x, t, eps)
+        if denoise_fn is not None:
+            pred_x_start = denoise_fn(pred_x_start)
+            # re-derive eps from the blended x0_hat (identical to the model
+            # eps when no blending — skip the extra gathers in that case)
+            eps = predict_eps_from_xstart(sched, x, t, pred_x_start)
         a_prev = _gather(sched.alphas_cumprod_prev, t, x.ndim)
-        sigma = (
-            eta
-            * jnp.sqrt((1.0 - a_prev) / (1.0 - a_bar))
-            * jnp.sqrt(1.0 - a_bar / a_prev)
-        )
-        mean_pred = (
-            out["pred_x_start"] * jnp.sqrt(a_prev)
-            + jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
-        )
-        key, sub = jax.random.split(key)
-        z = jax.random.normal(sub, x.shape, x.dtype)
-        keep_noise = (i != 0).astype(x.dtype)
-        x = mean_pred + keep_noise * sigma * z
+        if deterministic:
+            x = pred_x_start * jnp.sqrt(a_prev) + jnp.sqrt(1.0 - a_prev) * eps
+        else:
+            a_bar = _gather(sched.alphas_cumprod, t, x.ndim)
+            sigma = (
+                eta
+                * jnp.sqrt((1.0 - a_prev) / (1.0 - a_bar))
+                * jnp.sqrt(1.0 - a_bar / a_prev)
+            )
+            mean_pred = (
+                pred_x_start * jnp.sqrt(a_prev)
+                + jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+            )
+            key, sub = jax.random.split(key)
+            z = jax.random.normal(sub, x.shape, x.dtype)
+            keep_noise = (i != 0).astype(x.dtype)
+            x = mean_pred + keep_noise * sigma * z
         return (x, key), None
 
     steps = jnp.arange(sched.num_timesteps - 1, -1, -1)
