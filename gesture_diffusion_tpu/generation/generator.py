@@ -54,13 +54,113 @@ class Generator:
         variables: dict,
         sched: Schedule,
         timestep_map: Optional[jax.Array] = None,
+        use_fused: "bool | str" = "auto",
+        fused_dtype=None,
     ):
+        """:param use_fused: route DDIM sampling through the single-Pallas-
+        kernel sampler (ops/fused_sampler.py — weights resident in VMEM)
+        when supported.  "auto" enables it on TPU backends only."""
         self.model = model
         self.variables = variables
         self.sched = sched
         self.timestep_map = timestep_map
+        self.use_fused = use_fused
+        self.fused_dtype = fused_dtype
         self._sample_jit = {}   # keyed by (alg, inpaint?)
         self._bpd_jit = None
+        self._fused_packed = None
+        self._fused_prep = None
+        self._fused_key = None
+
+    # -- fused single-kernel DDIM path ---------------------------------
+    def _fused_enabled(self) -> bool:
+        if self.use_fused is False:
+            return False
+        cfg = self.model.cfg
+        supported = (
+            cfg.decoder_type == "oneway_cross_attention"
+            and cfg.model_type == "s2g_v2"
+            and cfg.d_model % 256 == 0
+        )
+        if self.use_fused == "auto":
+            return supported and jax.default_backend() == "tpu"
+        return supported
+
+    def _fused_sample(self, wavs, pose_dim, pose_window_len, noise,
+                      inpaint_poses, inpaint_masks, ramp):
+        import jax.numpy as jnp
+
+        from ..ops import fused_sampler as fs
+
+        cfg = self.model.cfg
+        if self._fused_packed is None or \
+                self._fused_key != (pose_dim, pose_window_len):
+            dtype = self.fused_dtype or jnp.bfloat16
+            self._fused_key = (pose_dim, pose_window_len)
+            self._fused_packed = fs.pack_oneway_denoiser(
+                self.variables["params"], pose_dim, pose_window_len,
+                weight_dtype=dtype)
+            tmap = (np.asarray(self.timestep_map)
+                    if self.timestep_map is not None
+                    else np.arange(self.sched.num_timesteps))
+            self._fused_tmap = jnp.asarray(tmap[:, None].astype(np.int32))
+            self._fused_coefs = jnp.asarray(fs.ddim_coefficients(self.sched))
+
+            from ..models.attention import sinusoidal_position_encoding
+
+            pe = jnp.asarray(
+                sinusoidal_position_encoding(5000, cfg.d_model))
+            emm = self.variables["params"]["decoder"]["emb_mem"]
+
+            @jax.jit
+            def prep_memory(variables, wavs):
+                speech = self.model.apply(
+                    variables, wavs, train=False,
+                    method=GestureDenoiser.encode_memory)
+                m_s = speech.shape[1]
+                rows = speech @ emm["kernel"] + emm["bias"] + pe[1:m_s + 1]
+                slot = jnp.zeros((rows.shape[0], 1, cfg.d_model), rows.dtype)
+                return jnp.concatenate([slot, rows], axis=1).astype(jnp.float32)
+
+            self._fused_prep = prep_memory
+
+        mem_rows = self._fused_prep(self.variables, wavs)
+        if mem_rows.shape[1] % 8 != 0:
+            return None  # unaligned memory length -> scan fallback
+
+        key = ("exec", inpaint_poses is not None, ramp is not None)
+        if key not in self._sample_jit:
+            dp_pad = ((pose_dim + 127) // 128) * 128
+            cd = self.fused_dtype or jnp.bfloat16
+            interp = jax.default_backend() != "tpu"
+
+            def run(packed, tmap, coefs, mem_rows, noise, ip, im, rp):
+                n = noise.shape[0]
+                x_T = jnp.zeros((n, pose_window_len, dp_pad)
+                                ).at[..., :pose_dim].set(noise)
+                if ip is None:
+                    blend_a = jnp.zeros((n, pose_window_len, dp_pad))
+                    blend_b = jnp.ones((n, pose_window_len, dp_pad))
+                else:
+                    tf = 0.0 if rp is None else rp
+                    a = (1.0 - tf) * im * ip
+                    b = tf * im + (1.0 - im)
+                    blend_a = jnp.zeros((n, pose_window_len, dp_pad)
+                                        ).at[..., :pose_dim].set(a)
+                    blend_b = jnp.ones((n, pose_window_len, dp_pad)
+                                       ).at[..., :pose_dim].set(
+                        jnp.broadcast_to(b, ip.shape))
+                out = fs.fused_ddim_sample(
+                    packed, x_T, mem_rows, tmap, coefs, blend_a, blend_b,
+                    n_layers=cfg.n_layers, heads=cfg.heads,
+                    num_steps=self.sched.num_timesteps,
+                    compute_dtype=cd, interpret=interp)
+                return out[..., :pose_dim]
+
+            self._sample_jit[key] = jax.jit(run)
+        return self._sample_jit[key](
+            self._fused_packed, self._fused_tmap, self._fused_coefs,
+            mem_rows, noise, inpaint_poses, inpaint_masks, ramp)
 
     # ------------------------------------------------------------------
     def _model_fn(self, variables, memory, inpaint_pose=None, inpaint_mask=None):
@@ -134,6 +234,12 @@ class Generator:
         if noise is None:
             rng, sub = jax.random.split(rng)
             noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
+        if (sample_alg == "ddim" and pose_window_len % 8 == 0
+                and self._fused_enabled()):
+            out = self._fused_sample(wavs, pose_dim, pose_window_len, noise,
+                                     inpaint_poses, inpaint_masks, ramp)
+            if out is not None:
+                return out
         sampler = self._get_sampler(sample_alg, with_inpaint)
         return sampler(self.variables, wavs, noise, rng,
                        inpaint_poses, inpaint_masks, ramp)

@@ -1,0 +1,394 @@
+"""Fully-fused DDIM sampler: the whole reverse process in ONE Pallas kernel.
+
+Motivation (measured on TPU v5e): the scan-based sampler is bound by
+re-streaming the decoder's ~17 MB of fp32 weights from HBM on every one of
+the 1000 denoising steps (~60 of the ~66 us/step).  This kernel loads the
+oneway-cross-attention denoiser ONCE into VMEM (bf16, ~8.5 MB) and runs all
+steps with a `fori_loop` inside the kernel: per-step work is pure
+VMEM-resident MXU/VPU compute.
+
+Scope: s2g_v2 / "default" memory layout + oneway_cross_attention decoder,
+DDIM eta=0 (the operational sampling mode — deterministic, so no in-kernel
+RNG), with optional seed-pose x0-blending folded in as two elementwise
+tensors (a + b * x0_hat).  Everything else falls back to the scan sampler.
+
+Computation per step (mirrors models/denoiser.py + models/decoders.py):
+  token = emb_mem(step_mlp(temb[t])) + pe[0]
+  mem   = [token ; precomputed emb_mem(speech)+pe[1:]]
+  h     = emb_x(x) + pe[:T]
+  4 x { pre-LN self-attn (dconv QKV) -> pre-LN cross-attn(mem) -> pre-LN FF }
+  eps   = out_proj(LN(h));  x0 = c0*x - c1*eps;  x0 = blend(x0)
+  x     = c2*x0 + c3*eps
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-6
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class PackedDenoiser(NamedTuple):
+    """Stacked, padded weights for the fused kernel (L = n_layers)."""
+
+    # embeddings
+    w_embx: jax.Array      # (Dp_pad, D)
+    b_embx: jax.Array      # (1, D)
+    pe_x: jax.Array        # (T, D)
+    # timestep-token path
+    w_sp1: jax.Array       # (D, D)
+    b_sp1: jax.Array
+    w_sp2: jax.Array
+    b_sp2: jax.Array
+    w_emm: jax.Array       # (D, D)  emb_mem
+    b_emm: jax.Array
+    pe_m0: jax.Array       # (1, D)
+    # per-layer stacks
+    ln1_s: jax.Array       # (L, 1, D)
+    ln1_b: jax.Array
+    self_wqkv: jax.Array   # (L, 3, D, D)
+    self_bqkv: jax.Array   # (L, 3, 1, D)
+    self_dconv: jax.Array  # (L, 3, 3, D)  [q/k/v][tap] tiled across heads
+    self_dbias: jax.Array  # (L, 3, 1, D)
+    self_wo: jax.Array     # (L, D, D)
+    self_bo: jax.Array     # (L, 1, D)
+    ln2_s: jax.Array
+    ln2_b: jax.Array
+    cross_wqkv: jax.Array
+    cross_bqkv: jax.Array
+    cross_dconv: jax.Array
+    cross_dbias: jax.Array
+    cross_wo: jax.Array
+    cross_bo: jax.Array
+    ln3_s: jax.Array
+    ln3_b: jax.Array
+    ff_w1: jax.Array       # (L, D, F)
+    ff_b1: jax.Array       # (L, 1, F)
+    ff_w2: jax.Array       # (L, F, D)
+    ff_b2: jax.Array       # (L, 1, D)
+    # output head
+    lno_s: jax.Array       # (1, D)
+    lno_b: jax.Array
+    w_out: jax.Array       # (D, Dp_pad)
+    b_out: jax.Array       # (1, Dp_pad)
+
+
+def pack_oneway_denoiser(
+    params: dict,
+    d_pose: int,
+    t_window: int,
+    weight_dtype=jnp.bfloat16,
+) -> PackedDenoiser:
+    """Flatten GestureDenoiser params (s2g_v2/oneway) into kernel stacks.
+
+    d_pose is zero-padded to a multiple of 128 on both the input embedding
+    and the output head (extra eps columns are discarded by the caller).
+    """
+    from ..models.attention import sinusoidal_position_encoding
+
+    dec = params["decoder"]
+    step = params["step_encoder"]
+    d_model = dec["emb_x"]["kernel"].shape[1]
+    dp_pad = _round_up(d_pose, 128)
+    wd = weight_dtype
+
+    def pad_rows(w, rows):
+        return jnp.zeros((rows, w.shape[1]), w.dtype).at[: w.shape[0]].set(w)
+
+    def pad_cols(w, cols):
+        return jnp.zeros((w.shape[0], cols), w.dtype).at[:, : w.shape[1]].set(w)
+
+    pe = jnp.asarray(sinusoidal_position_encoding(5000, d_model))
+
+    layers = sorted((k for k in dec if k.startswith("layer")),
+                    key=lambda s: int(s[len("layer"):]))
+
+    def stack_attn(attn_key):
+        wqkv, bqkv, dconv, dbias, wo, bo = [], [], [], [], [], []
+        for lk in layers:
+            a = dec[lk][attn_key]
+            wqkv.append(jnp.stack([a["query"]["kernel"], a["key"]["kernel"],
+                                   a["value"]["kernel"]]))
+            bqkv.append(jnp.stack([a["query"]["bias"], a["key"]["bias"],
+                                   a["value"]["bias"]])[:, None, :])
+            d_k = a["query_dconv"]["kernel"].shape[1]
+            n_heads = d_model // d_k
+            taps, biases = [], []
+            for name in ("query_dconv", "key_dconv", "value_dconv"):
+                taps.append(jnp.tile(a[name]["kernel"], (1, n_heads)))  # (3, D)
+                biases.append(jnp.tile(a[name]["bias"], (n_heads,))[None, :])
+            dconv.append(jnp.stack(taps))                         # (3, 3, D)
+            dbias.append(jnp.stack(biases))                       # (3, 1, D)
+            wo.append(a["output"]["kernel"])
+            bo.append(a["output"]["bias"][None, :])
+        return (jnp.stack(wqkv).astype(wd), jnp.stack(bqkv).astype(wd),
+                jnp.stack(dconv).astype(wd), jnp.stack(dbias).astype(wd),
+                jnp.stack(wo).astype(wd), jnp.stack(bo).astype(wd))
+
+    def stack_ln(norm_key):
+        s = jnp.stack([dec[lk][norm_key]["scale"][None, :] for lk in layers])
+        b = jnp.stack([dec[lk][norm_key]["bias"][None, :] for lk in layers])
+        return s.astype(jnp.float32), b.astype(jnp.float32)
+
+    self_w = stack_attn("self_attn")
+    cross_w = stack_attn("cross_attn")
+    ln1 = stack_ln("norm_self_attn")
+    ln2 = stack_ln("norm_cross_attn")
+    ln3 = stack_ln("norm_ff")
+
+    ff_w1 = jnp.stack([dec[lk]["ff"]["layer1"]["kernel"] for lk in layers]).astype(wd)
+    ff_b1 = jnp.stack([dec[lk]["ff"]["layer1"]["bias"][None, :] for lk in layers]).astype(wd)
+    ff_w2 = jnp.stack([dec[lk]["ff"]["layer2"]["kernel"] for lk in layers]).astype(wd)
+    ff_b2 = jnp.stack([dec[lk]["ff"]["layer2"]["bias"][None, :] for lk in layers]).astype(wd)
+
+    return PackedDenoiser(
+        w_embx=pad_rows(dec["emb_x"]["kernel"], dp_pad).astype(wd),
+        b_embx=dec["emb_x"]["bias"][None, :].astype(wd),
+        pe_x=pe[:t_window].astype(jnp.float32),
+        w_sp1=step["proj1"]["kernel"].astype(wd),
+        b_sp1=step["proj1"]["bias"][None, :].astype(wd),
+        w_sp2=step["proj2"]["kernel"].astype(wd),
+        b_sp2=step["proj2"]["bias"][None, :].astype(wd),
+        w_emm=dec["emb_mem"]["kernel"].astype(wd),
+        b_emm=dec["emb_mem"]["bias"][None, :].astype(wd),
+        pe_m0=pe[:1].astype(jnp.float32),
+        ln1_s=ln1[0], ln1_b=ln1[1],
+        self_wqkv=self_w[0], self_bqkv=self_w[1], self_dconv=self_w[2],
+        self_dbias=self_w[3], self_wo=self_w[4], self_bo=self_w[5],
+        ln2_s=ln2[0], ln2_b=ln2[1],
+        cross_wqkv=cross_w[0], cross_bqkv=cross_w[1], cross_dconv=cross_w[2],
+        cross_dbias=cross_w[3], cross_wo=cross_w[4], cross_bo=cross_w[5],
+        ln3_s=ln3[0], ln3_b=ln3[1],
+        ff_w1=ff_w1, ff_b1=ff_b1, ff_w2=ff_w2, ff_b2=ff_b2,
+        lno_s=dec["out_norm"]["scale"][None, :].astype(jnp.float32),
+        lno_b=dec["out_norm"]["bias"][None, :].astype(jnp.float32),
+        w_out=pad_cols(dec["out_proj"]["kernel"], dp_pad).astype(wd),
+        b_out=pad_cols(dec["out_proj"]["bias"][None, :], dp_pad).astype(wd),
+    )
+
+
+def ddim_coefficients(sched, timestep_map=None) -> np.ndarray:
+    """(S, 4) fp32: [sqrt_recip_acp, sqrt_recipm1_acp, sqrt(acp_prev),
+    sqrt(1-acp_prev)] per respaced step."""
+    c = np.stack([
+        np.asarray(sched.sqrt_recip_alphas_cumprod),
+        np.asarray(sched.sqrt_recipm1_alphas_cumprod),
+        np.sqrt(np.asarray(sched.alphas_cumprod_prev)),
+        np.sqrt(1.0 - np.asarray(sched.alphas_cumprod_prev)),
+    ], axis=1).astype(np.float32)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
+                 num_steps: int, compute_dtype):
+    """n_mem counts the TOTAL memory rows including the timestep token slot
+    (row 0); the speech rows live at 1..n_mem-1 of the input buffer."""
+    cd = compute_dtype
+
+    def ln(x, scale, bias):
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(axis=-1, keepdims=True)
+        var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
+        return ((x32 - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias).astype(cd)
+
+    def dconv(x, taps, bias):
+        """x (T, D); taps (3, D): y[t] = w0 x[t-1] + w1 x[t] + w2 x[t+1].
+        Shifts via tile-aligned rolls + first/last-row masking; rolls run in
+        f32 (Mosaic has no bf16 rotate)."""
+        x32 = x.astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        n_rows = x.shape[0]
+        zero = jnp.zeros_like(x32)
+        prev = jnp.where(rows == 0, zero,
+                         pltpu.roll(x32, shift=1, axis=0)).astype(cd)
+        # circular roll by n-1 == shift -1 (pltpu.roll wants shift >= 0)
+        nxt = jnp.where(rows == n_rows - 1, zero,
+                        pltpu.roll(x32, shift=n_rows - 1, axis=0)).astype(cd)
+        return prev * taps[0] + x * taps[1] + nxt * taps[2] + bias
+
+    def head_masks(d_model):
+        d_k = d_model // heads
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, d_model), 1)
+        return [(lane // d_k == h).astype(cd) for h in range(heads)]
+
+    def mha(q_in, kv_in, wqkv, bqkv, dtaps, dbias, wo, bo, d_model):
+        """Per-head scores via masked full-width matmuls — avoids lane
+        slicing, which Mosaic requires to be 128-aligned."""
+        d_k = d_model // heads
+        scale = 1.0 / np.sqrt(d_k)
+        q = dconv(jnp.dot(q_in, wqkv[0], preferred_element_type=jnp.float32
+                          ).astype(cd) + bqkv[0], dtaps[0], dbias[0])
+        k = dconv(jnp.dot(kv_in, wqkv[1], preferred_element_type=jnp.float32
+                          ).astype(cd) + bqkv[1], dtaps[1], dbias[1])
+        v = dconv(jnp.dot(kv_in, wqkv[2], preferred_element_type=jnp.float32
+                          ).astype(cd) + bqkv[2], dtaps[2], dbias[2])
+        out = None
+        for mask in head_masks(d_model):
+            s = jnp.dot(q * mask, k.T,
+                        preferred_element_type=jnp.float32) * scale
+            a = jax.nn.softmax(s, axis=1).astype(cd)
+            o_h = jnp.dot(a, v, preferred_element_type=jnp.float32
+                          ).astype(cd) * mask
+            out = o_h if out is None else out + o_h
+        return jnp.dot(out, wo, preferred_element_type=jnp.float32
+                       ).astype(cd) + bo
+
+    def kernel(x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref,
+               blend_a_ref, blend_b_ref, *w_refs, out_ref):
+        p = PackedDenoiser(*w_refs)
+        d_model = p.w_emm.shape[0]
+        mem_buf = mem_ref[:].astype(cd)             # (n_mem, D); row0 = slot
+        mem_row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (n_mem, d_model), 0)
+        blend_a = blend_a_ref[:]
+        blend_b = blend_b_ref[:]
+        freqs = freqs_ref[:]                        # (1, D/2) f32
+
+        def step(i, x):
+            si = num_steps - 1 - i
+            # sinusoidal embedding of the ORIGINAL timestep, in-kernel
+            t_orig = tmap_ref[si, 0].astype(jnp.float32)
+            args = t_orig * freqs
+            e = jnp.concatenate([jnp.cos(args), jnp.sin(args)],
+                                axis=-1).astype(cd)           # (1, D)
+            t1 = jnp.dot(e, p.w_sp1[:], preferred_element_type=jnp.float32
+                         ) + p.b_sp1[:].astype(jnp.float32)
+            # silu in f32: Mosaic miscompiles bf16 sigmoid (verifier bug)
+            t1 = (t1 * jax.nn.sigmoid(t1)).astype(cd)
+            t2 = jnp.dot(t1, p.w_sp2[:], preferred_element_type=jnp.float32
+                         ).astype(cd) + p.b_sp2[:]
+            tok = jnp.dot(t2, p.w_emm[:], preferred_element_type=jnp.float32
+                          ).astype(cd) + p.b_emm[:] + p.pe_m0[:].astype(cd)
+            # place the token in row 0 without an unaligned concat
+            mem = jnp.where(mem_row_ids == 0,
+                            jnp.broadcast_to(tok, mem_buf.shape), mem_buf)
+
+            h = jnp.dot(x.astype(cd), p.w_embx[:],
+                        preferred_element_type=jnp.float32).astype(cd) \
+                + p.b_embx[:] + p.pe_x[:].astype(cd)
+
+            for l in range(n_layers):
+                z = ln(h, p.ln1_s[l], p.ln1_b[l])
+                h = h + mha(z, z, p.self_wqkv[l], p.self_bqkv[l],
+                            p.self_dconv[l], p.self_dbias[l],
+                            p.self_wo[l], p.self_bo[l], d_model)
+                z = ln(h, p.ln2_s[l], p.ln2_b[l])
+                h = h + mha(z, mem, p.cross_wqkv[l], p.cross_bqkv[l],
+                            p.cross_dconv[l], p.cross_dbias[l],
+                            p.cross_wo[l], p.cross_bo[l], d_model)
+                z = ln(h, p.ln3_s[l], p.ln3_b[l])
+                f = jnp.dot(z, p.ff_w1[l], preferred_element_type=jnp.float32
+                            ).astype(cd) + p.ff_b1[l]
+                f = jax.nn.relu(f)
+                f = f * f
+                h = h + jnp.dot(f, p.ff_w2[l],
+                                preferred_element_type=jnp.float32
+                                ).astype(cd) + p.ff_b2[l]
+
+            z = ln(h, p.lno_s[:], p.lno_b[:])
+            eps = jnp.dot(z, p.w_out[:], preferred_element_type=jnp.float32
+                          ) + p.b_out[:].astype(jnp.float32)  # (T, Dp) f32
+
+            c0 = coef_ref[si, 0]
+            c1 = coef_ref[si, 1]
+            c2 = coef_ref[si, 2]
+            c3 = coef_ref[si, 3]
+            x0_hat = c0 * x - c1 * eps
+            x0_hat = blend_a + blend_b * x0_hat
+            # re-derive eps from the (possibly blended) x0_hat, matching
+            # the scan sampler / reference (gaussian_diffusion.py:465)
+            eps = (c0 * x - x0_hat) / c1
+            return c2 * x0_hat + c3 * eps
+
+        x = x0_ref[:].astype(jnp.float32)
+        x = jax.lax.fori_loop(0, num_steps, step, x)
+        out_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_layers", "heads", "num_steps", "compute_dtype",
+                     "interpret"))
+def fused_ddim_sample(
+    packed: PackedDenoiser,
+    x_T: jax.Array,          # (N, T, Dp_pad) f32 initial noise (pose cols padded)
+    mem_rows: jax.Array,     # (N, n_mem, D) f32; row 0 is the token slot,
+                             # rows 1.. are emb_mem(speech)+pe[1:]
+    tmap: jax.Array,         # (S, 1) int32 respaced -> original timestep map
+    coefs: jax.Array,        # (S, 4) f32 ddim coefficients
+    blend_a: jax.Array,      # (N, T, Dp_pad) f32
+    blend_b: jax.Array,      # (N, T, Dp_pad) f32
+    n_layers: int,
+    heads: int,
+    num_steps: int,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    n, t_window, dp_pad = x_T.shape
+    n_mem = mem_rows.shape[1]
+    d_model = packed.w_emm.shape[0]
+    kernel = _make_kernel(n_layers, heads, t_window, n_mem, num_steps,
+                          compute_dtype)
+    half = d_model // 2
+    freqs = jnp.exp(-np.log(10000.0)
+                    * jnp.arange(half, dtype=jnp.float32) / half)[None, :]
+
+    def batch_spec(shape):
+        return pl.BlockSpec((1, *shape), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def shared_spec(arr):
+        # same block every grid step -> fetched once, resident in VMEM
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def smem_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.SMEM)
+
+    w_list = list(packed)
+    in_specs = [
+        batch_spec((t_window, dp_pad)),          # x0
+        batch_spec((n_mem, mem_rows.shape[-1])),
+        smem_spec(tmap),
+        shared_spec(freqs),
+        smem_spec(coefs),
+        batch_spec((t_window, dp_pad)),          # blend_a
+        batch_spec((t_window, dp_pad)),          # blend_b
+    ] + [shared_spec(w) for w in w_list]
+
+    def kernel_wrap(x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref,
+                    ba_ref, bb_ref, *wrefs_and_out):
+        *w_refs, out_ref = wrefs_and_out
+        # strip the leading batch-block dim of per-batch refs
+        kernel(x0_ref.at[0], mem_ref.at[0], tmap_ref, freqs_ref, coef_ref,
+               ba_ref.at[0], bb_ref.at[0], *w_refs, out_ref=out_ref.at[0])
+
+    out = pl.pallas_call(
+        kernel_wrap,
+        out_shape=jax.ShapeDtypeStruct((n, t_window, dp_pad), jnp.float32),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=batch_spec((t_window, dp_pad)),
+        interpret=interpret,
+    )(x_T, mem_rows, tmap, freqs, coefs, blend_a, blend_b, *w_list)
+    return out
