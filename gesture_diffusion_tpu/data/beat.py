@@ -209,6 +209,113 @@ def _stratified_split_and_save(data: Dict[str, np.ndarray], spt_dir_path: str,
             pickle.dump(obj, f)
 
 
+# Official BEAT split (https://github.com/PantoMatrix/BEAT/issues/6): for
+# 4-hour speakers, these recording indices form the test/val sets
+# (reference ``data_utils.py:522-527``).
+OFFICIAL_SPLIT_4H = {
+    "test_seq": (1, 2, 3, 4, 5, 6, 7, 8, 65, 73, 81, 87, 95, 103, 111),
+    "test_conv": (1,),
+    "val_seq": (56, 57, 58, 59, 60, 61, 62, 63, 64, 72, 80, 86, 94, 102,
+                110, 118),
+    "val_conv": (12,),
+}
+FOUR_HOUR_SPEAKERS = (1, 2, 3, 4, 6, 7, 8, 9, 11, 21)
+
+
+def split_dataset_official(
+    src_dir_path: str,
+    human_ids: Sequence[int],
+    wav_sr: int,
+    sample_duration: float,
+    spt_dir_path: str,
+    pose_fps: int = 20,
+    joints: Optional[List[str]] = None,
+    word_vec_path: Optional[str] = None,
+) -> None:
+    """Official-split prep variant (``data_utils.py:464-664``): recordings
+    are routed to train/val/test by their filename indices
+    ``{hid}_{name}_{type}_{i}_{i}`` instead of a random stratified split;
+    no begin-time sync is applied."""
+    os.makedirs(spt_dir_path, exist_ok=True)
+    log = open(os.path.join(spt_dir_path, "split_dataset.log"), "w")
+
+    vocab = Vocab("word")
+    vocab.load_word_vectors(word_vec_path)
+    for hid in human_ids:
+        for tg_path in sorted(glob.glob(os.path.join(src_dir_path, str(hid), "*.TextGrid"))):
+            for iv in read_textgrid(tg_path)[0]:
+                if iv.mark:
+                    vocab.index_word(iv.mark)
+    with open(os.path.join(spt_dir_path, "vocab.pkl"), "wb") as f:
+        pickle.dump(vocab, f)
+
+    splits = {s: {"hid": [], "pose": [], "wav": [], "word_id": []}
+              for s in ("train", "val", "test")}
+    for hid in human_ids:
+        if hid not in FOUR_HOUR_SPEAKERS:
+            raise NotImplementedError(
+                f"official split indices only known for 4-hour speakers, got {hid}")
+        idx = OFFICIAL_SPLIT_4H
+        for bvh_path in sorted(glob.glob(os.path.join(src_dir_path, str(hid), "*.bvh"))):
+            try:
+                wav_path = bvh_path[:-4] + ".wav"
+                tg_path = bvh_path[:-4] + ".TextGrid"
+                for p, what in [(wav_path, "wav"), (tg_path, "TextGrid")]:
+                    if not os.path.exists(p):
+                        raise FileNotFoundError(f"{what} file not found")
+
+                poses, pose_dur = load_from_bvh(bvh_path, joints, pose_fps)
+                wav = load_wav(wav_path, wav_sr)
+                word_ids = np.zeros((len(poses),))
+                for iv in read_textgrid(tg_path)[0]:
+                    if iv.mark:
+                        sf = int(iv.min_time * pose_fps)
+                        if 0 <= sf < len(word_ids):
+                            word_ids[sf] = vocab.get_word_index(iv.mark)
+
+                shorter = min(pose_dur, len(wav) / wav_sr)
+                poses = poses[: int(shorter * pose_fps)]
+                word_ids = word_ids[: int(shorter * pose_fps)]
+                wav = wav[: int(shorter * wav_sr)]
+
+                starts = np.arange(0, shorter, sample_duration)[:-1]
+                if len(starts) == 0:
+                    raise ValueError(f"recording shorter than {sample_duration}s")
+                pw, ww = int(sample_duration * pose_fps), int(sample_duration * wav_sr)
+                p_idx = np.stack([np.arange(int(st * pose_fps),
+                                            int(st * pose_fps) + pw) for st in starts])
+                w_idx = np.stack([np.arange(int(st * wav_sr),
+                                            int(st * wav_sr) + ww) for st in starts])
+
+                parts = os.path.basename(bvh_path)[:-4].split("_")
+                ty, i1, i2 = parts[-3], int(parts[-2]), int(parts[-1])
+                if i1 != i2:
+                    raise ValueError("last two numbers of file name must agree")
+                if ty == "0":
+                    split = ("test" if i1 in idx["test_seq"] else
+                             "val" if i1 in idx["val_seq"] else "train")
+                elif ty == "1":
+                    split = ("test" if i1 in idx["test_conv"] else
+                             "val" if i1 in idx["val_conv"] else "train")
+                else:
+                    raise ValueError(f"Unsupported recording type -> {ty}")
+
+                splits[split]["hid"].append(np.full(len(starts), hid))
+                splits[split]["pose"].append(poses[p_idx])
+                splits[split]["wav"].append(wav[w_idx])
+                splits[split]["word_id"].append(word_ids[p_idx])
+                print(f"[Info] Processed ({split}): {bvh_path}", file=log)
+            except Exception as msg:
+                print(f"[Error] {msg} {bvh_path}")
+                print(f"[Error] {msg} {bvh_path}", file=log)
+    log.close()
+
+    for split, lists in splits.items():
+        obj = {k: np.concatenate(v, axis=0) for k, v in lists.items()}
+        with open(os.path.join(spt_dir_path, f"{split}_samples.pkl"), "wb") as f:
+            pickle.dump(obj, f)
+
+
 def preprocess_data(
     src_dir_path: str,
     human_ids: Sequence[int],

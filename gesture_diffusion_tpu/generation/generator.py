@@ -234,8 +234,11 @@ class Generator:
         if noise is None:
             rng, sub = jax.random.split(rng)
             noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
+        # fused path wins on latency (weights VMEM-resident) but its grid
+        # runs batch elements serially — the XLA scan amortises weight
+        # streaming across the batch and wins beyond ~2 clips
         if (sample_alg == "ddim" and pose_window_len % 8 == 0
-                and self._fused_enabled()):
+                and n <= 2 and self._fused_enabled()):
             out = self._fused_sample(wavs, pose_dim, pose_window_len, noise,
                                      inpaint_poses, inpaint_masks, ramp)
             if out is not None:

@@ -45,6 +45,32 @@ def _inpaint_kwargs(model: GestureDenoiser, poses: jax.Array) -> dict:
     return {"inpaint_pose": poses, "inpaint_mask": mask}
 
 
+def load_start_params(params, start_chkpt: str):
+    """Tolerant merge of a checkpoint's best_params into fresh params:
+    matching path+shape leaves are copied, everything else keeps its fresh
+    init (and is reported), enabling cross-architecture fine-tuning."""
+    import flax
+
+    with open(start_chkpt, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    source = raw.get("best_params", raw)
+    flat_src = flax.traverse_util.flatten_dict(source)
+    flat_dst = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params))
+    loaded, new = 0, []
+    for key, value in flat_dst.items():
+        src = flat_src.get(key)
+        if src is not None and np.shape(src) == np.shape(value):
+            flat_dst[key] = jnp.asarray(src, jnp.asarray(value).dtype)
+            loaded += 1
+        else:
+            new.append("/".join(key))
+    for name in new:
+        print(f"[Warning] New param (fresh init): {name}")
+    print(f"[Info] Loaded {loaded} tensors from {start_chkpt}")
+    return flax.traverse_util.unflatten_dict(flat_dst)
+
+
 def make_train_step(
     model: GestureDenoiser,
     sched: Schedule,
@@ -131,7 +157,13 @@ class Trainer:
         log_step_gap: int = 100,
         mesh=None,
         config: Optional[dict] = None,
+        start_chkpt: Optional[str] = None,
     ):
+        """:param start_chkpt: fine-tuning — initialise params from another
+        run's best weights where tree paths/shapes match, keeping fresh
+        inits elsewhere (reference ``model_creation.py:164-177``; its
+        10x-lr-for-new-params optimizer was dead code, overwritten at :179,
+        so the operational behaviour is a plain optimizer — matched here)."""
         assert goal in ("minimize", "maximize"), f"Unsupported goal: {goal}"
         self.model = model
         self.sched = sched
@@ -164,6 +196,9 @@ class Trainer:
             jnp.asarray(sample["wav"]), train=False,
             **_inpaint_kwargs(model, jnp.asarray(sample["pose"])))
         params = variables["params"]
+        if start_chkpt is not None and not os.path.exists(
+                checkpoint_path(log_dir, seed)):
+            params = load_start_params(params, start_chkpt)
         batch_stats = variables.get("batch_stats", {})
         state = TrainState(params, batch_stats,
                            optimizer.init(params), jnp.asarray(0, jnp.int32))

@@ -102,7 +102,8 @@ def _mesh_from_config(config):
 def train_model(config):
     train_ds, val_ds, _ = load_datasets(config)
     d_pose = train_ds.get_dims()["d_pose"]
-    bundle = build_all(config, d_pose, is_training=True)
+    bundle = build_all(config, d_pose, is_training=True,
+                       dtype=config.Train.get("dtype"))
     log_dir = os.path.join(config.Meta.log_dir, config.Meta.name)
     trainer = Trainer(
         bundle.model, bundle.schedule, bundle.optimizer, bundle.lr_schedule,
@@ -113,8 +114,11 @@ def train_model(config):
         metric=config.Train.get("metric", "val_loss"),
         goal=config.Train.get("goal", "minimize"),
         loss_params=(dict(config.Train.Loss) if config.Train.get("Loss") else None),
+        grad_norm_clip_value=config.Train.get("grad_norm_clip_value"),
+        grad_clip_value=config.Train.get("grad_clip_value"),
         mesh=_mesh_from_config(config),
-        config=config.to_dict())
+        config=config.to_dict(),
+        start_chkpt=config.Model.get("start_chkpt"))
     steps_per_epoch = max(1, len(train_ds.as_arrays()) // config.Train.batch_size)
     max_epochs = max(1, round(
         parse_steps(config.Train.max_training_steps) / steps_per_epoch))
