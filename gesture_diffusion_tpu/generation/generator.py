@@ -87,7 +87,7 @@ class Generator:
         return supported
 
     def _fused_sample(self, wavs, pose_dim, pose_window_len, noise,
-                      inpaint_poses, inpaint_masks, ramp):
+                      inpaint_poses, inpaint_masks, ramp, n_clips=1):
         import jax.numpy as jnp
 
         from ..ops import fused_sampler as fs
@@ -128,7 +128,7 @@ class Generator:
         if mem_rows.shape[1] % 8 != 0:
             return None  # unaligned memory length -> scan fallback
 
-        key = ("exec", inpaint_poses is not None, ramp is not None)
+        key = ("exec", inpaint_poses is not None, ramp is not None, n_clips)
         if key not in self._sample_jit:
             dp_pad = ((pose_dim + 127) // 128) * 128
             cd = self.fused_dtype or jnp.bfloat16
@@ -154,7 +154,7 @@ class Generator:
                     packed, x_T, mem_rows, tmap, coefs, blend_a, blend_b,
                     n_layers=cfg.n_layers, heads=cfg.heads,
                     num_steps=self.sched.num_timesteps,
-                    compute_dtype=cd, interpret=interp)
+                    compute_dtype=cd, interpret=interp, n_clips=n_clips)
                 return out[..., :pose_dim]
 
             self._sample_jit[key] = jax.jit(run)
@@ -234,13 +234,18 @@ class Generator:
         if noise is None:
             rng, sub = jax.random.split(rng)
             noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
-        # fused path wins on latency (weights VMEM-resident) but its grid
-        # runs batch elements serially — the XLA scan amortises weight
-        # streaming across the batch and wins beyond ~2 clips
+        # fused path: weights VMEM-resident, up to 8 clips packed per grid
+        # program via block-diagonal attention.  Grid programs run serially,
+        # so for batch shapes that pack poorly (odd N > 2) the XLA scan —
+        # which amortises weight streaming across the whole batch — wins.
+        import math
+
+        n_clips = math.gcd(n, 8)
         if (sample_alg == "ddim" and pose_window_len % 8 == 0
-                and n <= 2 and self._fused_enabled()):
+                and (n <= 2 or n_clips >= 4) and self._fused_enabled()):
             out = self._fused_sample(wavs, pose_dim, pose_window_len, noise,
-                                     inpaint_poses, inpaint_masks, ramp)
+                                     inpaint_poses, inpaint_masks, ramp,
+                                     n_clips=n_clips)
             if out is not None:
                 return out
         sampler = self._get_sampler(sample_alg, with_inpaint)

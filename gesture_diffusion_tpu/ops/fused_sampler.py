@@ -196,9 +196,15 @@ def ddim_coefficients(sched, timestep_map=None) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
-                 num_steps: int, compute_dtype):
-    """n_mem counts the TOTAL memory rows including the timestep token slot
-    (row 0); the speech rows live at 1..n_mem-1 of the input buffer."""
+                 num_steps: int, compute_dtype, n_clips: int = 1):
+    """n_mem counts PER-CLIP memory rows including the timestep token slot
+    (row 0); speech rows live at 1..n_mem-1 of each clip's block.
+
+    n_clips > 1 packs several clips into one program as a long sequence:
+    projections/FF run over (n_clips*T, D) — much better MXU fill — while
+    attention stays per-clip via block-diagonal score masking and the
+    depthwise conv masks its shifts at clip boundaries.
+    """
     cd = compute_dtype
 
     def ln(x, scale, bias):
@@ -207,18 +213,18 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
         return ((x32 - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias).astype(cd)
 
-    def dconv(x, taps, bias):
-        """x (T, D); taps (3, D): y[t] = w0 x[t-1] + w1 x[t] + w2 x[t+1].
-        Shifts via tile-aligned rolls + first/last-row masking; rolls run in
+    def dconv(x, taps, bias, clip_len):
+        """x (n_clips*clip_len, D); y[t] = w0 x[t-1] + w1 x[t] + w2 x[t+1]
+        within each clip (shifts never cross clip boundaries).  Rolls run in
         f32 (Mosaic has no bf16 rotate)."""
         x32 = x.astype(jnp.float32)
         rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         n_rows = x.shape[0]
         zero = jnp.zeros_like(x32)
-        prev = jnp.where(rows == 0, zero,
+        prev = jnp.where(rows % clip_len == 0, zero,
                          pltpu.roll(x32, shift=1, axis=0)).astype(cd)
         # circular roll by n-1 == shift -1 (pltpu.roll wants shift >= 0)
-        nxt = jnp.where(rows == n_rows - 1, zero,
+        nxt = jnp.where(rows % clip_len == clip_len - 1, zero,
                         pltpu.roll(x32, shift=n_rows - 1, axis=0)).astype(cd)
         return prev * taps[0] + x * taps[1] + nxt * taps[2] + bias
 
@@ -227,21 +233,33 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, d_model), 1)
         return [(lane // d_k == h).astype(cd) for h in range(heads)]
 
-    def mha(q_in, kv_in, wqkv, bqkv, dtaps, dbias, wo, bo, d_model):
+    def block_mask(n_q, q_len, n_k, k_len):
+        """(n_q, n_k) additive mask: -inf where query/key clips differ."""
+        if n_clips == 1:
+            return None
+        qi = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 0) // q_len
+        ki = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 1) // k_len
+        return jnp.where(qi == ki, 0.0, -1e9).astype(jnp.float32)
+
+    def mha(q_in, kv_in, wqkv, bqkv, dtaps, dbias, wo, bo, d_model,
+            q_len, k_len):
         """Per-head scores via masked full-width matmuls — avoids lane
         slicing, which Mosaic requires to be 128-aligned."""
         d_k = d_model // heads
         scale = 1.0 / np.sqrt(d_k)
         q = dconv(jnp.dot(q_in, wqkv[0], preferred_element_type=jnp.float32
-                          ).astype(cd) + bqkv[0], dtaps[0], dbias[0])
+                          ).astype(cd) + bqkv[0], dtaps[0], dbias[0], q_len)
         k = dconv(jnp.dot(kv_in, wqkv[1], preferred_element_type=jnp.float32
-                          ).astype(cd) + bqkv[1], dtaps[1], dbias[1])
+                          ).astype(cd) + bqkv[1], dtaps[1], dbias[1], k_len)
         v = dconv(jnp.dot(kv_in, wqkv[2], preferred_element_type=jnp.float32
-                          ).astype(cd) + bqkv[2], dtaps[2], dbias[2])
+                          ).astype(cd) + bqkv[2], dtaps[2], dbias[2], k_len)
+        bmask = block_mask(q.shape[0], q_len, k.shape[0], k_len)
         out = None
         for mask in head_masks(d_model):
             s = jnp.dot(q * mask, k.T,
                         preferred_element_type=jnp.float32) * scale
+            if bmask is not None:
+                s = s + bmask
             a = jax.nn.softmax(s, axis=1).astype(cd)
             o_h = jnp.dot(a, v, preferred_element_type=jnp.float32
                           ).astype(cd) * mask
@@ -253,12 +271,16 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
                blend_a_ref, blend_b_ref, *w_refs, out_ref):
         p = PackedDenoiser(*w_refs)
         d_model = p.w_emm.shape[0]
-        mem_buf = mem_ref[:].astype(cd)             # (n_mem, D); row0 = slot
+        mem_buf = mem_ref[:].astype(cd)   # (n_clips*n_mem, D); slot rows @ k*n_mem
         mem_row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (n_mem, d_model), 0)
+            jnp.int32, (n_clips * n_mem, d_model), 0)
         blend_a = blend_a_ref[:]
         blend_b = blend_b_ref[:]
         freqs = freqs_ref[:]                        # (1, D/2) f32
+        if n_clips == 1:
+            pe_x = p.pe_x[:].astype(cd)
+        else:
+            pe_x = jnp.concatenate([p.pe_x[:]] * n_clips, axis=0).astype(cd)
 
         def step(i, x):
             si = num_steps - 1 - i
@@ -275,23 +297,26 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
                          ).astype(cd) + p.b_sp2[:]
             tok = jnp.dot(t2, p.w_emm[:], preferred_element_type=jnp.float32
                           ).astype(cd) + p.b_emm[:] + p.pe_m0[:].astype(cd)
-            # place the token in row 0 without an unaligned concat
-            mem = jnp.where(mem_row_ids == 0,
+            # place the (shared) token in every clip's row 0 without an
+            # unaligned concat
+            mem = jnp.where(mem_row_ids % n_mem == 0,
                             jnp.broadcast_to(tok, mem_buf.shape), mem_buf)
 
             h = jnp.dot(x.astype(cd), p.w_embx[:],
                         preferred_element_type=jnp.float32).astype(cd) \
-                + p.b_embx[:] + p.pe_x[:].astype(cd)
+                + p.b_embx[:] + pe_x
 
             for l in range(n_layers):
                 z = ln(h, p.ln1_s[l], p.ln1_b[l])
                 h = h + mha(z, z, p.self_wqkv[l], p.self_bqkv[l],
                             p.self_dconv[l], p.self_dbias[l],
-                            p.self_wo[l], p.self_bo[l], d_model)
+                            p.self_wo[l], p.self_bo[l], d_model,
+                            t_window, t_window)
                 z = ln(h, p.ln2_s[l], p.ln2_b[l])
                 h = h + mha(z, mem, p.cross_wqkv[l], p.cross_bqkv[l],
                             p.cross_dconv[l], p.cross_dbias[l],
-                            p.cross_wo[l], p.cross_bo[l], d_model)
+                            p.cross_wo[l], p.cross_bo[l], d_model,
+                            t_window, n_mem)
                 z = ln(h, p.ln3_s[l], p.ln3_b[l])
                 f = jnp.dot(z, p.ff_w1[l], preferred_element_type=jnp.float32
                             ).astype(cd) + p.ff_b1[l]
@@ -326,7 +351,7 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_layers", "heads", "num_steps", "compute_dtype",
-                     "interpret"))
+                     "interpret", "n_clips"))
 def fused_ddim_sample(
     packed: PackedDenoiser,
     x_T: jax.Array,          # (N, T, Dp_pad) f32 initial noise (pose cols padded)
@@ -341,12 +366,23 @@ def fused_ddim_sample(
     num_steps: int,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    n_clips: int = 1,
 ) -> jax.Array:
     n, t_window, dp_pad = x_T.shape
     n_mem = mem_rows.shape[1]
     d_model = packed.w_emm.shape[0]
+    if n % n_clips != 0:
+        raise ValueError(f"batch {n} not divisible by n_clips {n_clips}")
+    if n_clips > 1:
+        # pack n_clips clips per grid program as one long block-diagonal
+        # sequence — projections/FF fill the MXU across clips
+        n_prog = n // n_clips
+        x_T = x_T.reshape(n_prog, n_clips * t_window, dp_pad)
+        mem_rows = mem_rows.reshape(n_prog, n_clips * n_mem, d_model)
+        blend_a = blend_a.reshape(n_prog, n_clips * t_window, dp_pad)
+        blend_b = blend_b.reshape(n_prog, n_clips * t_window, dp_pad)
     kernel = _make_kernel(n_layers, heads, t_window, n_mem, num_steps,
-                          compute_dtype)
+                          compute_dtype, n_clips=n_clips)
     half = d_model // 2
     freqs = jnp.exp(-np.log(10000.0)
                     * jnp.arange(half, dtype=jnp.float32) / half)[None, :]
@@ -365,15 +401,18 @@ def fused_ddim_sample(
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                             memory_space=pltpu.SMEM)
 
+    rows_x = n_clips * t_window
+    rows_m = n_clips * n_mem
+    n_prog = n // n_clips
     w_list = list(packed)
     in_specs = [
-        batch_spec((t_window, dp_pad)),          # x0
-        batch_spec((n_mem, mem_rows.shape[-1])),
+        batch_spec((rows_x, dp_pad)),            # x0
+        batch_spec((rows_m, d_model)),
         smem_spec(tmap),
         shared_spec(freqs),
         smem_spec(coefs),
-        batch_spec((t_window, dp_pad)),          # blend_a
-        batch_spec((t_window, dp_pad)),          # blend_b
+        batch_spec((rows_x, dp_pad)),            # blend_a
+        batch_spec((rows_x, dp_pad)),            # blend_b
     ] + [shared_spec(w) for w in w_list]
 
     def kernel_wrap(x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref,
@@ -385,10 +424,10 @@ def fused_ddim_sample(
 
     out = pl.pallas_call(
         kernel_wrap,
-        out_shape=jax.ShapeDtypeStruct((n, t_window, dp_pad), jnp.float32),
-        grid=(n,),
+        out_shape=jax.ShapeDtypeStruct((n_prog, rows_x, dp_pad), jnp.float32),
+        grid=(n_prog,),
         in_specs=in_specs,
-        out_specs=batch_spec((t_window, dp_pad)),
+        out_specs=batch_spec((rows_x, dp_pad)),
         interpret=interpret,
     )(x_T, mem_rows, tmap, freqs, coefs, blend_a, blend_b, *w_list)
-    return out
+    return out.reshape(n, t_window, dp_pad)

@@ -61,6 +61,17 @@ def test_fused_hard_seed_copies(setup):
                                np.asarray(seeds[:, :3]), atol=1e-4)
 
 
+def test_fused_batched_clip_packing_matches(setup):
+    """N=4 -> n_clips=4: clips packed into one block-diagonal program must
+    produce the same result as independent sampling."""
+    gen_scan, gen_fused = setup
+    wav4 = jnp.concatenate([WAV, WAV[::-1]], axis=0)  # N=4
+    noise = jax.random.normal(jax.random.key(9), (4, T, D_POSE))
+    a = gen_scan.generate_sample(wav4, D_POSE, T, jax.random.key(10), noise=noise)
+    b = gen_fused.generate_sample(wav4, D_POSE, T, jax.random.key(10), noise=noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_fused_falls_back_for_unsupported_configs():
     """cross_attention decoder -> scan path (no error, same API)."""
     cfg = DenoiserConfig(d_pose=D_POSE, d_model=DM, heads=8, n_layers=1,
