@@ -1,0 +1,67 @@
+"""Multi-device correctness: sharded sampling equals unsharded; mesh
+helpers behave."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesture_diffusion_tpu.diffusion import make_diffusion, ddim_sample_loop
+from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
+from gesture_diffusion_tpu.parallel import (
+    data_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_shard_and_replicate_placement():
+    mesh = make_mesh()
+    batch = {"x": np.zeros((16, 4), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    assert not sharded["x"].sharding.is_fully_replicated
+    rep = replicate({"w": np.ones((3, 3), np.float32)}, mesh)
+    assert rep["w"].sharding.is_fully_replicated
+
+
+def test_sharded_sampling_matches_single_device():
+    """DDIM over a data-sharded batch must equal the unsharded result —
+    the eval path is DP-safe by construction."""
+    cfg = DenoiserConfig(d_pose=6, d_model=32, heads=4, n_layers=1)
+    model = GestureDenoiser(cfg)
+    n, t = 8, 8
+    wav = jnp.asarray(np.random.default_rng(0).normal(
+        0, 0.3, (n, 8000)).astype(np.float32))
+    variables = model.init(jax.random.key(0), jnp.zeros((n, t, 6)),
+                           jnp.zeros((n,), jnp.int32), wav, train=False)
+    sched, tmap = make_diffusion("linear", 50, "ddim5", is_training=False)
+    noise = jax.random.normal(jax.random.key(1), (n, t, 6))
+
+    def sample(variables, wav, noise):
+        memory = model.apply(variables, wav, train=False,
+                             method=GestureDenoiser.encode_memory)
+
+        def model_fn(x, tt):
+            return model.apply(variables, x, tt, memory, train=False,
+                               method=GestureDenoiser.denoise)
+
+        return ddim_sample_loop(sched, model_fn, noise, jax.random.key(2),
+                                timestep_map=jnp.asarray(tmap))
+
+    plain = jax.jit(sample)(variables, wav, noise)
+
+    mesh = make_mesh()
+    sharded_out = jax.jit(sample)(
+        replicate(variables, mesh),
+        jax.device_put(wav, data_sharding(mesh)),
+        jax.device_put(noise, data_sharding(mesh)))
+    # sharded execution reorders reductions; tolerance covers float noise
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded_out),
+                               atol=1e-3)
