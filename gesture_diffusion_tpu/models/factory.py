@@ -96,7 +96,10 @@ def build_all(
     wd = (train_params.get("weight_decay") or 0.0) if hasattr(train_params, "get") else 0.0
     lr_schedule = build_lr_schedule(
         train_params.get("Scheduler") if hasattr(train_params, "get") else None, lr)
-    optimizer = optax.adamw(learning_rate=lr_schedule, weight_decay=wd)
+    # optax.flatten: AdamW state/update math over ONE ravelled vector
+    # instead of ~360 per-leaf ops — smaller programs, fewer buffers
+    optimizer = optax.flatten(
+        optax.adamw(learning_rate=lr_schedule, weight_decay=wd))
 
     sampler = create_named_schedule_sampler("uniform", sched.num_timesteps)
     return ModelBundle(model, sched, tmap, eval_sched, eval_tmap,

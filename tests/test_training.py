@@ -42,7 +42,7 @@ def small_setup():
 def _make_trainer(model, sched, tmp, seed=0, lr=3e-4, **kw):
     train_ds = synthetic_dataset(seed=0)
     val_ds = synthetic_dataset(n=16, seed=1)
-    optimizer = optax.adamw(lr)
+    optimizer = optax.flatten(optax.adamw(lr))
     return Trainer(
         model, sched, optimizer, lambda s: lr,
         train_ds, val_ds, batch_size=16,
