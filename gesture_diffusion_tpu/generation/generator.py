@@ -95,11 +95,14 @@ class Generator:
         cfg = self.model.cfg
         if self._fused_packed is None or \
                 self._fused_key != (pose_dim, pose_window_len):
-            dtype = self.fused_dtype or jnp.bfloat16
+            # measured best default on v5e: bf16 weights (to fit VMEM's
+            # 16 MB) with f32 compute — faster AND more accurate than bf16
+            # compute (no cast churn around rolls/LN; full-rate VPU f32)
+            weight_dtype = self.fused_dtype or jnp.bfloat16
             self._fused_key = (pose_dim, pose_window_len)
             self._fused_packed = fs.pack_oneway_denoiser(
                 self.variables["params"], pose_dim, pose_window_len,
-                weight_dtype=dtype)
+                weight_dtype=weight_dtype)
             tmap = (np.asarray(self.timestep_map)
                     if self.timestep_map is not None
                     else np.arange(self.sched.num_timesteps))
@@ -131,7 +134,7 @@ class Generator:
         key = ("exec", inpaint_poses is not None, ramp is not None, n_clips)
         if key not in self._sample_jit:
             dp_pad = ((pose_dim + 127) // 128) * 128
-            cd = self.fused_dtype or jnp.bfloat16
+            cd = self.fused_dtype or jnp.float32
             interp = jax.default_backend() != "tpu"
 
             def run(packed, tmap, coefs, mem_rows, noise, ip, im, rp):
