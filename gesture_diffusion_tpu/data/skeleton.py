@@ -16,7 +16,7 @@ p(j) = p(parent) + R_g(parent) @ offset(j) — matching
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -14,8 +14,7 @@ host each iteration (SURVEY.md §3.2).  Here:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ librosa's default window/threshold parameters.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

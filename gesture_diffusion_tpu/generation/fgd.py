@@ -16,7 +16,7 @@ save/restore via flax msgpack.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

@@ -23,7 +23,6 @@ All layouts are (N, T, C).
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Optional
 
 import jax
