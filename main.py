@@ -236,6 +236,14 @@ def evaluate(config):
     os.makedirs(result_dir, exist_ok=True)
     with open(os.path.join(result_dir, "eval_results.json"), "w") as f:
         json.dump(test_log, f, indent=2)
+    # append test metrics into the training run's metrics stream (the
+    # reference resumes the wandb run and logs there, main.py:270-278)
+    run_id = meta.get("run_id")
+    if run_id:
+        from gesture_diffusion_tpu.training.metrics import MetricsLogger
+
+        MetricsLogger(os.path.join(config.Meta.log_dir, config.Meta.name),
+                      run_id=run_id).log(test_log)
     with open(os.path.join(result_dir, "generated.pkl"), "wb") as f:
         pickle.dump({"out": np.concatenate(output_all, axis=0),
                      "pose": samples["pose"], "wav": samples["wav"]}, f)
