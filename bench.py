@@ -56,7 +56,14 @@ def measure_ours(repetitions: int = 10, warmup: int = 3):
     mean64, _, _ = gen.eval_infer_time(
         wav64, D_POSE, WINDOW, sample_alg="ddim", repetitions=2, warmup=1)
     batch64_gesture_s = 64 * 2.0 / (mean64 / 1e3)
-    return mean_ms, std_ms, steps_per_sec, batch64_gesture_s
+
+    # streaming mode: 50-step respaced DDIM per 2 s window, batch 1
+    sched50, tmap50 = make_diffusion("linear", DIFFUSION_STEPS, "ddim50",
+                                     is_training=False)
+    gen50 = Generator(model, variables, sched50, tmap50)
+    stream_ms, _, _ = gen50.eval_infer_time(
+        wav, D_POSE, WINDOW, sample_alg="ddim", repetitions=5, warmup=2)
+    return mean_ms, std_ms, steps_per_sec, batch64_gesture_s, stream_ms
 
 
 def main():
@@ -65,7 +72,7 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline_sps = json.load(f).get("reference_steps_per_sec")
 
-    mean_ms, std_ms, steps_per_sec, batch64_gesture_s = measure_ours()
+    mean_ms, std_ms, steps_per_sec, batch64_gesture_s, stream_ms = measure_ours()
     result = {
         "metric": "ddim_denoiser_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
@@ -78,6 +85,7 @@ def main():
             "batch": BATCH,
             "sec_of_gesture_per_sec": round(2.0 / (mean_ms / 1e3), 3),
             "batch64_sec_of_gesture_per_sec": round(batch64_gesture_s, 1),
+            "streaming_ddim50_ms_per_2s_window": round(stream_ms, 2),
             "baseline_reference_steps_per_sec_torch_cpu": baseline_sps,
         },
     }

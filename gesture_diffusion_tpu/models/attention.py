@@ -50,6 +50,44 @@ class PositionalEncoding(nn.Module):
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
+@jax.custom_vjp
+def depthwise_conv3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """y[t] = w0*x[t-1] + w1*x[t] + w2*x[t+1] + b over axis 1 of
+    (N, T, H, Dk); w (3, Dk) shared across heads, b (Dk,).
+
+    Custom VJP: the shifts are recomputed in the backward pass instead of
+    saving the two shifted copies as residuals — 3x less residual traffic
+    for an op that appears 6x per decoder layer.
+    """
+    prev = jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    nxt = jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    return prev * w[0] + x * w[1] + nxt * w[2] + b
+
+
+def _dwc3_fwd(x, w, b):
+    return depthwise_conv3(x, w, b), (x, w)
+
+
+def _dwc3_bwd(res, g):
+    x, w = res
+    # dL/dx[t] = g[t+1]*w0 + g[t]*w1 + g[t-1]*w2 (zeros past the ends)
+    g_up = jnp.pad(g[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    g_down = jnp.pad(g[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    dx = g_up * w[0] + g * w[1] + g_down * w[2]
+    prev = jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    nxt = jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    dw = jnp.stack([
+        (g * prev).sum(axis=(0, 1, 2)),
+        (g * x).sum(axis=(0, 1, 2)),
+        (g * nxt).sum(axis=(0, 1, 2)),
+    ])
+    db = g.sum(axis=(0, 1, 2))
+    return dx, dw.astype(w.dtype), db
+
+
+depthwise_conv3.defvjp(_dwc3_fwd, _dwc3_bwd)
+
+
 class SpatialDepthwiseConv(nn.Module):
     """Kernel-3 depthwise conv over time on (N, T, H, Dk), weights shared
     across heads (reference ``SpatialDepthWiseConv``)."""
@@ -60,10 +98,7 @@ class SpatialDepthwiseConv(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         w = self.param("kernel", nn.initializers.xavier_uniform(), (3, self.d_k))
         b = self.param("bias", nn.initializers.zeros, (self.d_k,))
-        w = w.astype(x.dtype)
-        prev = jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
-        nxt = jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
-        return prev * w[0] + x * w[1] + nxt * w[2] + b.astype(x.dtype)
+        return depthwise_conv3(x, w.astype(x.dtype), b.astype(x.dtype))
 
 
 class MultiHeadAttention(nn.Module):
