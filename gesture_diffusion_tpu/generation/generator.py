@@ -245,11 +245,18 @@ class Generator:
         n_clips = math.gcd(n, 8)
         if (sample_alg == "ddim" and pose_window_len % 8 == 0
                 and (n <= 2 or n_clips >= 4) and self._fused_enabled()):
-            out = self._fused_sample(wavs, pose_dim, pose_window_len, noise,
-                                     inpaint_poses, inpaint_masks, ramp,
-                                     n_clips=n_clips)
-            if out is not None:
-                return out
+            try:
+                out = self._fused_sample(wavs, pose_dim, pose_window_len,
+                                         noise, inpaint_poses, inpaint_masks,
+                                         ramp, n_clips=n_clips)
+                if out is not None:
+                    return out
+            except Exception as e:  # pragma: no cover — compiler/env specific
+                # a Mosaic/compile failure must never take down sampling;
+                # disable the fused path for this Generator and fall back
+                print(f"[Warning] fused sampler failed ({type(e).__name__}: "
+                      f"{str(e)[:200]}); falling back to the scan sampler")
+                self.use_fused = False
         sampler = self._get_sampler(sample_alg, with_inpaint)
         return sampler(self.variables, wavs, noise, rng,
                        inpaint_poses, inpaint_masks, ramp)
