@@ -86,7 +86,8 @@ class Generator:
         return supported
 
     def _fused_sample(self, wavs, pose_dim, pose_window_len, noise,
-                      inpaint_poses, inpaint_masks, ramp, n_clips=1):
+                      inpaint_poses, inpaint_masks, ramp, n_clips=1,
+                      stochastic=False, seed=0):
         import jax.numpy as jnp
 
         from ..ops import fused_sampler as fs
@@ -107,6 +108,8 @@ class Generator:
                     else np.arange(self.sched.num_timesteps))
             self._fused_tmap = jnp.asarray(tmap[:, None].astype(np.int32))
             self._fused_coefs = jnp.asarray(fs.ddim_coefficients(self.sched))
+            self._fused_ddpm_coefs = jnp.asarray(
+                fs.ddpm_coefficients(self.sched))
 
             from ..models.attention import sinusoidal_position_encoding
 
@@ -130,13 +133,14 @@ class Generator:
         if mem_rows.shape[1] % 8 != 0:
             return None  # unaligned memory length -> scan fallback
 
-        key = ("exec", inpaint_poses is not None, ramp is not None, n_clips)
+        key = ("exec", inpaint_poses is not None, ramp is not None, n_clips,
+               stochastic)
         if key not in self._sample_jit:
             dp_pad = ((pose_dim + 127) // 128) * 128
             cd = self.fused_dtype or jnp.float32
             interp = jax.default_backend() != "tpu"
 
-            def run(packed, tmap, coefs, mem_rows, noise, ip, im, rp):
+            def run(packed, tmap, coefs, mem_rows, noise, ip, im, rp, seed):
                 n = noise.shape[0]
                 x_T = jnp.zeros((n, pose_window_len, dp_pad)
                                 ).at[..., :pose_dim].set(noise)
@@ -156,13 +160,16 @@ class Generator:
                     packed, x_T, mem_rows, tmap, coefs, blend_a, blend_b,
                     n_layers=cfg.n_layers, heads=cfg.heads,
                     num_steps=self.sched.num_timesteps,
-                    compute_dtype=cd, interpret=interp, n_clips=n_clips)
+                    compute_dtype=cd, interpret=interp, n_clips=n_clips,
+                    stochastic=stochastic, seed=seed)
                 return out[..., :pose_dim]
 
             self._sample_jit[key] = jax.jit(run)
+        coefs = self._fused_ddpm_coefs if stochastic else self._fused_coefs
         return self._sample_jit[key](
-            self._fused_packed, self._fused_tmap, self._fused_coefs,
-            mem_rows, noise, inpaint_poses, inpaint_masks, ramp)
+            self._fused_packed, self._fused_tmap, coefs,
+            mem_rows, noise, inpaint_poses, inpaint_masks, ramp,
+            jnp.asarray(seed, jnp.int32))
 
     # ------------------------------------------------------------------
     def _model_fn(self, variables, memory, inpaint_pose=None, inpaint_mask=None):
@@ -243,12 +250,18 @@ class Generator:
         import math
 
         n_clips = math.gcd(n, 8)
-        if (sample_alg == "ddim" and pose_window_len % 8 == 0
+        if (sample_alg in ("ddim", "ddpm") and pose_window_len % 8 == 0
                 and (n <= 2 or n_clips >= 4) and self._fused_enabled()):
             try:
+                # derive the kernel PRNG seed WITHOUT consuming rng, so a
+                # runtime fallback to the scan path sees the same stream
+                seed = jax.random.randint(
+                    jax.random.fold_in(rng, 0x5EED), (), 0, 2**31 - 1)
                 out = self._fused_sample(wavs, pose_dim, pose_window_len,
                                          noise, inpaint_poses, inpaint_masks,
-                                         ramp, n_clips=n_clips)
+                                         ramp, n_clips=n_clips,
+                                         stochastic=(sample_alg == "ddpm"),
+                                         seed=seed)
                 if out is not None:
                     return out
             except Exception as e:  # pragma: no cover — compiler/env specific

@@ -191,12 +191,43 @@ def ddim_coefficients(sched, timestep_map=None) -> np.ndarray:
     return c
 
 
+def ddpm_coefficients(sched) -> np.ndarray:
+    """(S, 4) fp32 for ancestral sampling: [sqrt_recip_acp,
+    sqrt_recipm1_acp, posterior_mean_coef1, posterior_mean_coef2], plus the
+    noise std exp(0.5*posterior_log_variance) in column 4 — zeroed at step 0
+    (no noise at t == 0)."""
+    sigma = np.exp(0.5 * np.asarray(sched.posterior_log_variance_clipped))
+    sigma[0] = 0.0
+    c = np.stack([
+        np.asarray(sched.sqrt_recip_alphas_cumprod),
+        np.asarray(sched.sqrt_recipm1_alphas_cumprod),
+        np.asarray(sched.posterior_mean_coef1),
+        np.asarray(sched.posterior_mean_coef2),
+        sigma,
+    ], axis=1).astype(np.float32)
+    return c
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
+def _gaussian_noise(shape):
+    """Box-Muller from the in-kernel PRNG: (shape) float32 ~ N(0, 1)."""
+    def uniform01(bits):
+        # top 23 bits into the mantissa of [1, 2), minus 1 -> [0, 1)
+        f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+        return f - 1.0
+
+    u1 = uniform01(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    u2 = uniform01(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+    return r * jnp.cos(2.0 * np.pi * u2)
+
+
 def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
-                 num_steps: int, compute_dtype, n_clips: int = 1):
+                 num_steps: int, compute_dtype, n_clips: int = 1,
+                 stochastic: bool = False):
     """n_mem counts PER-CLIP memory rows including the timestep token slot
     (row 0); speech rows live at 1..n_mem-1 of each clip's block.
 
@@ -267,8 +298,10 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         return jnp.dot(out, wo, preferred_element_type=jnp.float32
                        ).astype(cd) + bo
 
-    def kernel(x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref,
+    def kernel(x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref, seed_ref,
                blend_a_ref, blend_b_ref, *w_refs, out_ref):
+        if stochastic:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * 9973)
         p = PackedDenoiser(*w_refs)
         d_model = p.w_emm.shape[0]
         mem_buf = mem_ref[:].astype(cd)   # (n_clips*n_mem, D); slot rows @ k*n_mem
@@ -336,8 +369,14 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
             c3 = coef_ref[si, 3]
             x0_hat = c0 * x - c1 * eps
             x0_hat = blend_a + blend_b * x0_hat
-            # re-derive eps from the (possibly blended) x0_hat, matching
-            # the scan sampler / reference (gaussian_diffusion.py:465)
+            if stochastic:
+                # ancestral DDPM: posterior mean + sigma * z
+                # (c2, c3) = posterior mean coefs; coef col 4 = sigma
+                # (0 at t == 0)
+                return (c2 * x0_hat + c3 * x
+                        + coef_ref[si, 4] * _gaussian_noise(x.shape))
+            # DDIM eta=0: re-derive eps from the (possibly blended) x0_hat,
+            # matching the scan sampler / reference (gaussian_diffusion.py:465)
             eps = (c0 * x - x0_hat) / c1
             return c2 * x0_hat + c3 * eps
 
@@ -351,7 +390,7 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_layers", "heads", "num_steps", "compute_dtype",
-                     "interpret", "n_clips"))
+                     "interpret", "n_clips", "stochastic"))
 def fused_ddim_sample(
     packed: PackedDenoiser,
     x_T: jax.Array,          # (N, T, Dp_pad) f32 initial noise (pose cols padded)
@@ -367,7 +406,12 @@ def fused_ddim_sample(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     n_clips: int = 1,
+    stochastic: bool = False,
+    seed: "jax.Array | int" = 0,
 ) -> jax.Array:
+    """stochastic=True runs ancestral DDPM: coefs must come from
+    ddpm_coefficients() and per-step Gaussian noise is drawn from the
+    in-kernel TPU PRNG seeded by ``seed`` (+ grid-program offset)."""
     n, t_window, dp_pad = x_T.shape
     n_mem = mem_rows.shape[1]
     d_model = packed.w_emm.shape[0]
@@ -381,8 +425,10 @@ def fused_ddim_sample(
         mem_rows = mem_rows.reshape(n_prog, n_clips * n_mem, d_model)
         blend_a = blend_a.reshape(n_prog, n_clips * t_window, dp_pad)
         blend_b = blend_b.reshape(n_prog, n_clips * t_window, dp_pad)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     kernel = _make_kernel(n_layers, heads, t_window, n_mem, num_steps,
-                          compute_dtype, n_clips=n_clips)
+                          compute_dtype, n_clips=n_clips,
+                          stochastic=stochastic)
     half = d_model // 2
     freqs = jnp.exp(-np.log(10000.0)
                     * jnp.arange(half, dtype=jnp.float32) / half)[None, :]
@@ -411,16 +457,18 @@ def fused_ddim_sample(
         smem_spec(tmap),
         shared_spec(freqs),
         smem_spec(coefs),
+        smem_spec(seed_arr),
         batch_spec((rows_x, dp_pad)),            # blend_a
         batch_spec((rows_x, dp_pad)),            # blend_b
     ] + [shared_spec(w) for w in w_list]
 
-    def kernel_wrap(x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref,
+    def kernel_wrap(x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref, seed_ref,
                     ba_ref, bb_ref, *wrefs_and_out):
         *w_refs, out_ref = wrefs_and_out
         # strip the leading batch-block dim of per-batch refs
         kernel(x0_ref.at[0], mem_ref.at[0], tmap_ref, freqs_ref, coef_ref,
-               ba_ref.at[0], bb_ref.at[0], *w_refs, out_ref=out_ref.at[0])
+               seed_ref, ba_ref.at[0], bb_ref.at[0], *w_refs,
+               out_ref=out_ref.at[0])
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -429,5 +477,5 @@ def fused_ddim_sample(
         in_specs=in_specs,
         out_specs=batch_spec((rows_x, dp_pad)),
         interpret=interpret,
-    )(x_T, mem_rows, tmap, freqs, coefs, blend_a, blend_b, *w_list)
+    )(x_T, mem_rows, tmap, freqs, coefs, seed_arr, blend_a, blend_b, *w_list)
     return out.reshape(n, t_window, dp_pad)
