@@ -116,6 +116,52 @@ def train_motion_ae(
     return model, {"params": params}
 
 
+def save_motion_ae(path: str, model: MotionAE, variables: dict) -> None:
+    import os
+
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "meta": {"length": model.length, "pose_dim": model.pose_dim,
+                 "latent_dim": model.latent_dim},
+        "variables": variables,
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_motion_ae(path: str) -> Tuple[MotionAE, dict]:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    meta = raw["meta"]
+    model = MotionAE(length=int(meta["length"]), pose_dim=int(meta["pose_dim"]),
+                     latent_dim=int(meta["latent_dim"]))
+    return model, raw["variables"]
+
+
+def load_or_train_motion_ae(
+    path: "str | None",
+    train_poses: np.ndarray,
+    latent_dim: int = 32,
+    steps: int = 2000,
+) -> Tuple[MotionAE, dict]:
+    """The reference required an unshipped pretrained torch checkpoint
+    (``embedding_space_evaluator.py:20``); here the embedding net is
+    trained on the fly and cached at ``path``."""
+    import os
+
+    if path and os.path.exists(path):
+        return load_motion_ae(path)
+    model, variables = train_motion_ae(train_poses, latent_dim=latent_dim,
+                                       steps=steps)
+    if path:
+        save_motion_ae(path, model, variables)
+    return model, variables
+
+
 def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """d^2 = |mu1-mu2|^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)), stable form."""
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)

@@ -231,6 +231,28 @@ def evaluate(config):
         print(f"[Info] Batch {i + 1}/{num_batches} | "
               f"{time.perf_counter() - st:.2f}s")
 
+    # optional FGD in embedding space (reference Eval.fgd, tedexp config)
+    fgd_cfg = (config.get("Eval") or {}).get("fgd") if config.get("Eval") else None
+    if fgd_cfg is not None:
+        from gesture_diffusion_tpu.generation.fgd import (
+            EmbeddingSpaceEvaluator,
+            load_or_train_motion_ae,
+        )
+
+        train_ds, _, _ = load_datasets(config)
+        ae_model, ae_vars = load_or_train_motion_ae(
+            fgd_cfg.get("eval_net_path"),
+            train_ds.get_samples()["pose"],
+            latent_dim=fgd_cfg.get("latent_dim", 32),
+            steps=fgd_cfg.get("train_steps", 2000))
+        ev = EmbeddingSpaceEvaluator(ae_model, ae_vars)
+        ev.push_samples(np.concatenate(output_all, axis=0),
+                        np.asarray(samples["pose"]))
+        fd, feat_dist = ev.get_scores()
+        metrics["fgd"] = fd
+        metrics["feat_dist"] = feat_dist
+        metrics["diversity"] = ev.get_diversity_scores()
+
     test_log = {f"test/{k}": v for k, v in metrics.items()}
     result_dir = os.path.join(config.Meta.log_dir, config.Meta.name, "results")
     os.makedirs(result_dir, exist_ok=True)
