@@ -1,0 +1,5 @@
+"""Interop with the reference PyTorch framework (checkpoint import)."""
+
+from .torch_import import import_torch_state_dict
+
+__all__ = ["import_torch_state_dict"]

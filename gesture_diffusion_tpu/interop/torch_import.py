@@ -1,0 +1,176 @@
+"""Import reference (PyTorch) checkpoints into this framework.
+
+Maps a torch ``state_dict`` of the reference flagship family —
+``Speech2GestureModel``/``Speech2GestureModelV2``
+(``/root/reference/models/model.py:23-117``) with the HA2G speech encoder
+(``ha2g/speech_encoder.py:9-61``, ``ha2g/model/ResNetSE34V2.py:13-221``)
+and the ``OnewayCrossAttention`` decoder (``models/nn.py:177-228``) — onto
+this repo's ``GestureDenoiser`` variables (``params`` + ``batch_stats``).
+
+Layout conversions:
+  * ``nn.Linear``   weight (O, I)       -> flax ``kernel`` (I, O)
+  * ``nn.Conv2d``   weight (O, I, kh, kw) -> flax HWIO (kh, kw, I, O)
+  * ``nn.BatchNorm2d`` weight/bias -> params scale/bias;
+    running_mean/var -> ``batch_stats`` mean/var
+  * Primer ``SpatialDepthWiseConv`` grouped Conv1d weight (d_k, 1, 3)
+    -> ``(3, d_k)`` (shared across heads; ``models/attention.py``)
+
+All flatten orders (SE-ResNet tap heads' channel-major (C, H) flatten,
+pixel-shuffle channel packing) were matched by construction in
+``models/speech_encoder.py`` so ``nn.Linear`` weights transplant with a
+plain transpose; ``tests/test_torch_parity.py`` verifies the full forward
+end to end against the executed reference.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from ..models.denoiser import DenoiserConfig
+
+# reference SE-ResNet trunk: [3, 4, 6, 3] blocks (ResNetSE34V2.py:46-49)
+_RESNET_LAYERS = (3, 4, 6, 3)
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):            # torch tensor, no torch import needed
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _linear(sd: Mapping, prefix: str) -> dict:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _conv(sd: Mapping, prefix: str) -> dict:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _bn(sd: Mapping, prefix: str):
+    params = {"scale": _np(sd[f"{prefix}.weight"]),
+              "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {"mean": _np(sd[f"{prefix}.running_mean"]),
+             "var": _np(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def _layernorm(sd: Mapping, prefix: str) -> dict:
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _dconv(sd: Mapping, prefix: str) -> dict:
+    # grouped Conv1d (d_k, 1, 3): w[c, 0, k] multiplies x[t + k - 1]
+    w = _np(sd[f"{prefix}.weight"])[:, 0, :].T        # -> (3, d_k)
+    return {"kernel": w, "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _mha(sd: Mapping, prefix: str, dconv: bool = True) -> dict:
+    """MultiDConvHeadAttention (transformer.py:63-127): each of q/k/v is
+    Sequential(PrepareForMultiHeadAttention, SpatialDepthWiseConv)."""
+    out = {}
+    for name in ("query", "key", "value"):
+        if dconv:
+            out[name] = _linear(sd, f"{prefix}.{name}.0.linear")
+            out[f"{name}_dconv"] = _dconv(sd, f"{prefix}.{name}.1.conv")
+        else:
+            out[name] = _linear(sd, f"{prefix}.{name}.linear")
+    out["output"] = _linear(sd, f"{prefix}.output")
+    return out
+
+
+def _se_block(sd: Mapping, prefix: str, has_proj: bool):
+    params = {"conv1": _conv(sd, f"{prefix}.conv1"),
+              "conv2": _conv(sd, f"{prefix}.conv2"),
+              "se": {"Dense_0": _linear(sd, f"{prefix}.se.fc.0"),
+                     "Dense_1": _linear(sd, f"{prefix}.se.fc.2")}}
+    stats = {}
+    params["bn1"], stats["bn1"] = _bn(sd, f"{prefix}.bn1")
+    params["bn2"], stats["bn2"] = _bn(sd, f"{prefix}.bn2")
+    if has_proj:
+        params["proj_conv"] = _conv(sd, f"{prefix}.downsample.0")
+        params["proj_bn"], stats["proj_bn"] = _bn(sd, f"{prefix}.downsample.1")
+    return params, stats
+
+
+def _tap_head(sd: Mapping, tag: str, base: str):
+    params = {"conv": _conv(sd, f"{base}.conv_{tag}"),
+              "fc": _linear(sd, f"{base}.fc_{tag}")}
+    stats = {}
+    params["bn"], stats["bn"] = _bn(sd, f"{base}.bn_{tag}")
+    return params, stats
+
+
+def _resnet(sd: Mapping, base: str):
+    params = {"stem_conv": _conv(sd, f"{base}.conv1")}
+    stats = {}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, f"{base}.bn1")
+    for k, blocks in enumerate(_RESNET_LAYERS, start=1):
+        for b in range(blocks):
+            # stage 1 keeps stride 1 and constant width -> no projection
+            has_proj = b == 0 and k > 1
+            name = f"layer{k}_block{b}"
+            params[name], stats[name] = _se_block(
+                sd, f"{base}.layer{k}.{b}", has_proj)
+    for tag in ("low", "mid", "high"):
+        params[f"head_{tag}"], stats[f"head_{tag}"] = _tap_head(sd, tag, base)
+    return params, stats
+
+
+def _oneway_decoder(sd: Mapping, base: str, n_layers: int):
+    params = {"emb_x": _linear(sd, f"{base}.emb_x"),
+              "emb_mem": _linear(sd, f"{base}.emb_mem"),
+              "out_norm": _layernorm(sd, f"{base}.out_layers.0"),
+              "out_proj": _linear(sd, f"{base}.out_layers.1")}
+    for i in range(n_layers):
+        lp = f"{base}.layers.{i}"
+        params[f"layer{i}"] = {
+            "norm_self_attn": _layernorm(sd, f"{lp}.norm_self_attn"),
+            "self_attn": _mha(sd, f"{lp}.self_attn"),
+            "norm_cross_attn": _layernorm(sd, f"{lp}.norm_cross_attn"),
+            "cross_attn": _mha(sd, f"{lp}.cross_attn"),
+            "norm_ff": _layernorm(sd, f"{lp}.norm_ff"),
+            "ff": {"layer1": _linear(sd, f"{lp}.feed_forward.layer1"),
+                   "layer2": _linear(sd, f"{lp}.feed_forward.layer2")},
+        }
+    return params
+
+
+def import_torch_state_dict(state_dict: Mapping, cfg: DenoiserConfig) -> dict:
+    """Reference torch ``state_dict`` -> ``{"params": ..., "batch_stats": ...}``
+    ready for ``GestureDenoiser(cfg).apply``.
+
+    Supports ``model_type`` "default"/"s2g_v2" with the oneway decoder
+    (the operational BEAT configuration).  Tensors may be torch tensors or
+    anything ``np.asarray`` accepts.
+    """
+    if cfg.decoder_type != "oneway_cross_attention":
+        raise NotImplementedError(
+            f"torch import supports the oneway decoder, got {cfg.decoder_type}")
+
+    sd = dict(state_dict)
+    resnet_params, resnet_stats = _resnet(
+        sd, "speech_encoder.wav_encoder.feat_extractor")
+    params = {
+        "speech_encoder": {
+            "resnet": resnet_params,
+            "wav_proj": _linear(sd, "speech_encoder.wav_proj_layer"),
+        },
+        "step_encoder": {
+            "proj1": _linear(sd, "diffusion_step_encoder.proj.0"),
+            "proj2": _linear(sd, "diffusion_step_encoder.proj.2"),
+        },
+        "decoder": _oneway_decoder(sd, "pose_decoder", cfg.n_layers),
+    }
+    if cfg.model_type == "s2g_v2":
+        params["blend_layer"] = _linear(sd, "blend_layer")
+    batch_stats = {"speech_encoder": {"resnet": resnet_stats}}
+    return {"params": params, "batch_stats": batch_stats}
