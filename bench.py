@@ -28,7 +28,7 @@ DIFFUSION_STEPS = 1000
 BATCH = 1
 
 
-def measure_ours(repetitions: int = 10, warmup: int = 3):
+def measure_ours(repetitions: int = 30, warmup: int = 5):
     import jax
     import jax.numpy as jnp
 
@@ -46,24 +46,25 @@ def measure_ours(repetitions: int = 10, warmup: int = 3):
         jnp.zeros((BATCH,), jnp.int32), wav, train=False)
     sched, tmap = make_diffusion("linear", DIFFUSION_STEPS, is_training=False)
     gen = Generator(model, variables, sched, tmap)
-    mean_ms, std_ms, steps_per_sec = gen.eval_infer_time(
+    _, _, _, t1 = gen.eval_infer_time(
         wav, D_POSE, WINDOW, sample_alg="ddim",
-        repetitions=repetitions, warmup=warmup)
+        repetitions=repetitions, warmup=warmup, return_raw=True)
 
     # batched offline-inference throughput (64 clips, clip-packed kernel)
     wav64 = jnp.asarray(np.random.default_rng(1).normal(
         0, 0.3, (64, WAV_LEN)).astype(np.float32))
-    mean64, _, _ = gen.eval_infer_time(
-        wav64, D_POSE, WINDOW, sample_alg="ddim", repetitions=2, warmup=1)
-    batch64_gesture_s = 64 * 2.0 / (mean64 / 1e3)
+    _, _, _, t64 = gen.eval_infer_time(
+        wav64, D_POSE, WINDOW, sample_alg="ddim", repetitions=5, warmup=2,
+        return_raw=True)
 
     # streaming mode: 50-step respaced DDIM per 2 s window, batch 1
     sched50, tmap50 = make_diffusion("linear", DIFFUSION_STEPS, "ddim50",
                                      is_training=False)
     gen50 = Generator(model, variables, sched50, tmap50)
-    stream_ms, _, _ = gen50.eval_infer_time(
-        wav, D_POSE, WINDOW, sample_alg="ddim", repetitions=5, warmup=2)
-    return mean_ms, std_ms, steps_per_sec, batch64_gesture_s, stream_ms
+    _, _, _, ts = gen50.eval_infer_time(
+        wav, D_POSE, WINDOW, sample_alg="ddim", repetitions=10, warmup=3,
+        return_raw=True)
+    return t1, t64, ts
 
 
 def main():
@@ -72,7 +73,13 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline_sps = json.load(f).get("reference_steps_per_sec")
 
-    mean_ms, std_ms, steps_per_sec, batch64_gesture_s, stream_ms = measure_ours()
+    t1, t64, ts = measure_ours()
+    # p50 headline: the tunnel-attached chip shows ~±10% run-to-run spread
+    # (PERF.md); the median of 30 reps is stable where a mean of 10 was one
+    # draw.  p50/min/mean all reported so round deltas are attributable.
+    p50 = float(np.median(t1))
+    steps_per_sec = DIFFUSION_STEPS / (p50 / 1e3)
+    p50_64 = float(np.median(t64))
     result = {
         "metric": "ddim_denoiser_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
@@ -80,12 +87,17 @@ def main():
         "vs_baseline": (round(steps_per_sec / baseline_sps, 2)
                         if baseline_sps else None),
         "detail": {
-            "mean_ms_per_1000step_loop": round(mean_ms, 2),
-            "std_ms": round(std_ms, 2),
+            "methodology": f"p50 of {len(t1)} timed reps (was mean of 10 in r1)",
+            "p50_ms_per_1000step_loop": round(p50, 2),
+            "min_ms": round(float(t1.min()), 2),
+            "mean_ms": round(float(t1.mean()), 2),
+            "std_ms": round(float(t1.std()), 2),
             "batch": BATCH,
-            "sec_of_gesture_per_sec": round(2.0 / (mean_ms / 1e3), 3),
-            "batch64_sec_of_gesture_per_sec": round(batch64_gesture_s, 1),
-            "streaming_ddim50_ms_per_2s_window": round(stream_ms, 2),
+            "sec_of_gesture_per_sec": round(2.0 / (p50 / 1e3), 3),
+            "batch64_sec_of_gesture_per_sec": round(64 * 2.0 / (p50_64 / 1e3), 1),
+            "batch64_p50_ms": round(p50_64, 2),
+            "batch64_min_ms": round(float(t64.min()), 2),
+            "streaming_ddim50_ms_per_2s_window": round(float(np.median(ts)), 2),
             "baseline_reference_steps_per_sec_torch_cpu": baseline_sps,
         },
     }

@@ -58,20 +58,25 @@ def make_schedule(betas: np.ndarray, dtype=jnp.float32) -> Schedule:
     posterior_variance = betas * (1.0 - acp_prev) / (1.0 - acp)
     # variance is 0 at t=0; clip the log as the reference does (line 133)
     post_log_var = np.log(np.append(posterior_variance[1], posterior_variance[1:]))
-    arrays = dict(
-        betas=betas,
-        alphas_cumprod=acp,
-        alphas_cumprod_prev=acp_prev,
-        sqrt_alphas_cumprod=np.sqrt(acp),
-        sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - acp),
-        log_one_minus_alphas_cumprod=np.log(1.0 - acp),
-        sqrt_recip_alphas_cumprod=np.sqrt(1.0 / acp),
-        sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / acp - 1.0),
-        posterior_variance=posterior_variance,
-        posterior_log_variance_clipped=post_log_var,
-        posterior_mean_coef1=betas * np.sqrt(acp_prev) / (1.0 - acp),
-        posterior_mean_coef2=(1.0 - acp_prev) * np.sqrt(alphas) / (1.0 - acp),
-    )
+    # short linear schedules can hit beta == 1 exactly (scale 1000/T), so
+    # acp == 0 and 1/acp == inf from there on — the same values the
+    # reference produces; only the fp64 divide-by-zero WARNING is suppressed
+    with np.errstate(divide="ignore"):
+        arrays = dict(
+            betas=betas,
+            alphas_cumprod=acp,
+            alphas_cumprod_prev=acp_prev,
+            sqrt_alphas_cumprod=np.sqrt(acp),
+            sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - acp),
+            log_one_minus_alphas_cumprod=np.log(1.0 - acp),
+            sqrt_recip_alphas_cumprod=np.sqrt(1.0 / acp),
+            sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / acp - 1.0),
+            posterior_variance=posterior_variance,
+            posterior_log_variance_clipped=post_log_var,
+            posterior_mean_coef1=betas * np.sqrt(acp_prev) / (1.0 - acp),
+            posterior_mean_coef2=(1.0 - acp_prev) * np.sqrt(alphas)
+            / (1.0 - acp),
+        )
     return Schedule(**{k: jnp.asarray(v, dtype=dtype) for k, v in arrays.items()})
 
 

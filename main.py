@@ -240,8 +240,13 @@ def evaluate(config):
         )
 
         train_ds, _, _ = load_datasets(config)
+        # pinned-by-default: the embedding net is trained ONCE (seeded) and
+        # cached next to the run, so consecutive evals score identical FGD
+        # (the reference used a fixed pretrained net for the same reason)
+        default_net = os.path.join(config.Meta.log_dir, config.Meta.name,
+                                   "fgd_motion_ae.msgpack")
         ae_model, ae_vars = load_or_train_motion_ae(
-            fgd_cfg.get("eval_net_path"),
+            fgd_cfg.get("eval_net_path") or default_net,
             train_ds.get_samples()["pose"],
             latent_dim=fgd_cfg.get("latent_dim", 32),
             steps=fgd_cfg.get("train_steps", 2000))

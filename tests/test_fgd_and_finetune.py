@@ -39,6 +39,55 @@ class TestFrechet:
                                        b.mean(0), np.cov(b, rowvar=False))
         assert d == pytest.approx(16.0, rel=0.2)  # |mu|^2 = 4 * 2^2
 
+    def test_golden_vs_closed_form_diagonal(self):
+        """Golden oracle: for diagonal covariances the Fréchet distance has
+        the closed form |mu1-mu2|^2 + sum(s1 + s2 - 2*sqrt(s1*s2))."""
+        rng = np.random.default_rng(7)
+        mu1, mu2 = rng.normal(size=(2, 6))
+        s1, s2 = rng.uniform(0.5, 3.0, (2, 6))
+        expected = float(((mu1 - mu2) ** 2).sum()
+                         + (s1 + s2 - 2.0 * np.sqrt(s1 * s2)).sum())
+        got = calculate_frechet_distance(mu1, np.diag(s1), mu2, np.diag(s2))
+        assert got == pytest.approx(expected, rel=1e-8)
+
+    def test_golden_vs_eigen_oracle_full_cov(self):
+        """Independent oracle via eigendecomposition: Tr sqrt(C1 C2)
+        computed as the sum of sqrt-eigenvalues of C1 @ C2."""
+        rng = np.random.default_rng(8)
+        a = rng.normal(size=(300, 5))
+        b = rng.normal(0.3, 1.2, (300, 5))
+        mu1, c1 = a.mean(0), np.cov(a, rowvar=False)
+        mu2, c2 = b.mean(0), np.cov(b, rowvar=False)
+        eig = np.linalg.eigvals(c1 @ c2)
+        tr_sqrt = np.sqrt(np.abs(eig)).sum()
+        expected = float(((mu1 - mu2) ** 2).sum()
+                         + np.trace(c1) + np.trace(c2) - 2.0 * tr_sqrt)
+        got = calculate_frechet_distance(mu1, c1, mu2, c2)
+        assert got == pytest.approx(expected, rel=1e-6)
+
+    def test_pinned_net_scores_are_reproducible(self, tmp_path):
+        """Two consecutive evaluations through the save/load path must score
+        the SAME FGD (the reference pinned a pretrained net; we pin a seeded
+        one cached on disk)."""
+        from gesture_diffusion_tpu.generation.fgd import (
+            load_or_train_motion_ae,
+        )
+
+        poses = _motion_windows(48)
+        path = str(tmp_path / "ae.msgpack")
+
+        def run_eval():
+            model, variables = load_or_train_motion_ae(
+                path, poses, steps=10)
+            ev = EmbeddingSpaceEvaluator(model, variables)
+            ev.push_samples(_motion_windows(32, seed=2, shift=0.3),
+                            _motion_windows(32, seed=3))
+            return ev.get_scores()
+
+        first, second = run_eval(), run_eval()   # 2nd run loads the cache
+        assert os.path.exists(path)
+        assert first == second
+
 
 class TestMotionAE:
     def test_reconstruction_learns(self):

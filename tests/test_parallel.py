@@ -70,7 +70,9 @@ def test_tensor_parallel_train_step_matches_dp():
     shardings = tensor_parallel_shardings(base.params, mesh)
     n_sharded = sum(1 for sh in jax.tree.leaves(
         shardings, is_leaf=lambda x: hasattr(x, "spec")) if any(sh.spec))
-    assert n_sharded == 20  # 2 layers x (q,k,v,out,ff1,ff2) + dconv? no: 2x10
+    # 2 layers x 10 sharded kernels each: self-attn {q,k,v,out} +
+    # cross-attn {q,k,v,out} + ff {layer1,layer2} (dconv/bias/LN replicated)
+    assert n_sharded == 20
     params_tp = apply_shardings(base.params, shardings)
     s_tp = TrainState(params_tp, replicate(base.batch_stats, mesh),
                       opt.init(params_tp), jnp.asarray(0, jnp.int32))
