@@ -137,10 +137,18 @@ class Generator:
                stochastic)
         if key not in self._sample_jit:
             dp_pad = ((pose_dim + 127) // 128) * 128
-            cd = self.fused_dtype or jnp.float32
+            # measured on v5e: f32 compute wins at batch<=2 (VPU-bound, no
+            # cast churn); clip-packed programs are matmul-bound and the
+            # f32 score/attn transients overflow the 16 MB VMEM at 8 clips,
+            # so packed programs compute in bf16 (x/eps state stays f32)
+            cd = self.fused_dtype or (
+                jnp.bfloat16 if n_clips > 2 else jnp.float32)
             interp = jax.default_backend() != "tpu"
 
             def run(packed, tmap, coefs, mem_rows, noise, ip, im, rp, seed):
+                # memory rows feed bf16 matmuls anyway — ship them in the
+                # compute dtype so the kernel block is half-size
+                mem_rows = mem_rows.astype(cd)
                 n = noise.shape[0]
                 x_T = jnp.zeros((n, pose_window_len, dp_pad)
                                 ).at[..., :pose_dim].set(noise)
@@ -385,8 +393,10 @@ class Generator:
         sample_alg: str = "ddim",
         repetitions: int = 10,
         warmup: int = 10,
+        return_raw: bool = False,
     ):
-        """:return: (mean_ms, std_ms, steps_per_sec) over timed reps."""
+        """:return: (mean_ms, std_ms, steps_per_sec)[, raw ms array] over
+        timed reps."""
         rng = jax.random.key(0)
         for i in range(warmup):
             out = self.generate_sample(wavs, pose_dim, pose_window_len,
@@ -402,5 +412,6 @@ class Generator:
             jax.block_until_ready(out)
             timings[rep] = (time.perf_counter() - t0) * 1e3
         steps = self.sched.num_timesteps
-        return float(timings.mean()), float(timings.std()), \
-            float(steps / (timings.mean() / 1e3))
+        stats = (float(timings.mean()), float(timings.std()),
+                 float(steps / (timings.mean() / 1e3)))
+        return stats + (timings,) if return_raw else stats
