@@ -46,6 +46,17 @@ class BvhData:
     def n_frames(self) -> int:
         return self.values.shape[0]
 
+    def clone(self) -> "BvhData":
+        """Deep copy (joints, channel layout, motion values) — the pymo
+        ``MocapData.clone`` (``pymo/data.py:26-34``) every transform builds on."""
+        joints = {
+            name: BvhJoint(j.name, j.parent, j.offset.copy(), list(j.channels),
+                           j.order, list(j.children), j.is_end_site)
+            for name, j in self.joints.items()
+        }
+        return BvhData(joints, self.root_name, self.framerate,
+                       self.values.copy(), list(self.channel_names))
+
     def joint_columns(self, joint_names: List[str]) -> List[int]:
         """Column indices for the given joints, in joint-list order
         (JointSelector semantics, ``preprocessing.py:559-599``)."""

@@ -1,4 +1,4 @@
-from . import rotation
+from . import pivots, quaternions, rotation
 from .scaler import StandardScaler
 
-__all__ = ["rotation", "StandardScaler"]
+__all__ = ["pivots", "quaternions", "rotation", "StandardScaler"]

@@ -33,10 +33,49 @@ _EPS = 1e-8
 # euler <-> rotation matrix
 # ---------------------------------------------------------------------------
 
-def euler_to_rotmat(euler: jax.Array, degrees: bool = True) -> jax.Array:
-    """(..., 3) intrinsic-XYZ euler angles -> (..., 3, 3) rotation matrices."""
+_AXIS_INDEX = {"X": 0, "Y": 1, "Z": 2}
+
+
+def _parse_order(order: str):
+    """'XYZ'-style intrinsic Tait-Bryan order -> (i, j, k, sign).
+
+    sign is +1 for even permutations of (0,1,2), -1 for odd — the
+    Levi-Civita factor in the closed-form angle extraction.
+    """
+    idx = tuple(_AXIS_INDEX[a] for a in order.upper())
+    if len(idx) != 3 or len(set(idx)) != 3:
+        raise ValueError(f"order must be a permutation of XYZ, got {order!r}")
+    i, j, k = idx
+    sign = 1.0 if (j - i) % 3 == 1 else -1.0
+    return i, j, k, sign
+
+
+def _axis_rotmat(angle: jax.Array, axis: int) -> jax.Array:
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    one, zero = jnp.ones_like(c), jnp.zeros_like(c)
+    if axis == 0:
+        rows = [[one, zero, zero], [zero, c, -s], [zero, s, c]]
+    elif axis == 1:
+        rows = [[c, zero, s], [zero, one, zero], [-s, zero, c]]
+    else:
+        rows = [[c, -s, zero], [s, c, zero], [zero, zero, one]]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def euler_to_rotmat(euler: jax.Array, degrees: bool = True,
+                    order: str = "XYZ") -> jax.Array:
+    """(..., 3) intrinsic euler angles -> (..., 3, 3) rotation matrices.
+
+    order "XYZ" (the BVH/BEAT default) uses the analytic expansion
+    R = Rx(a) @ Ry(b) @ Rz(c); any other permutation composes the three
+    axis rotations (reference pymo supports per-joint channel orders,
+    ``rotation_tools.py:99-117``).
+    """
     e = jnp.deg2rad(euler) if degrees else euler
     a, b, c = e[..., 0], e[..., 1], e[..., 2]
+    if order.upper() != "XYZ":
+        i, j, k, _ = _parse_order(order)
+        return _axis_rotmat(a, i) @ _axis_rotmat(b, j) @ _axis_rotmat(c, k)
     ca, sa = jnp.cos(a), jnp.sin(a)
     cb, sb = jnp.cos(b), jnp.sin(b)
     cc, sc = jnp.cos(c), jnp.sin(c)
@@ -47,20 +86,26 @@ def euler_to_rotmat(euler: jax.Array, degrees: bool = True) -> jax.Array:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-def rotmat_to_euler(m: jax.Array, degrees: bool = True) -> jax.Array:
-    """(..., 3, 3) -> (..., 3) intrinsic-XYZ euler angles.
+def rotmat_to_euler(m: jax.Array, degrees: bool = True,
+                    order: str = "XYZ") -> jax.Array:
+    """(..., 3, 3) -> (..., 3) intrinsic euler angles in the given
+    Tait-Bryan order.
 
-    Gimbal-locked matrices (|m02| ~ 1) resolve with c = 0, matching scipy's
-    choice of putting all twist into the first angle.
+    Closed form for R = R_i(a) @ R_j(b) @ R_k(c) with Levi-Civita sign s:
+    b = asin(s * m[i,k]); a = atan2(-s*m[j,k], m[k,k]);
+    c = atan2(-s*m[i,j], m[i,i]).  Gimbal-locked matrices (|m[i,k]| ~ 1)
+    resolve with c = 0, matching scipy's choice of putting all twist into
+    the first angle.
     """
-    b = jnp.arcsin(jnp.clip(m[..., 0, 2], -1.0, 1.0))
-    locked = jnp.abs(m[..., 0, 2]) > 1.0 - 1e-7
+    i, j, k, s = _parse_order(order)
+    b = jnp.arcsin(jnp.clip(s * m[..., i, k], -1.0, 1.0))
+    locked = jnp.abs(m[..., i, k]) > 1.0 - 1e-7
     a = jnp.where(
         locked,
-        jnp.arctan2(m[..., 2, 1], m[..., 1, 1]),
-        jnp.arctan2(-m[..., 1, 2], m[..., 2, 2]),
+        jnp.arctan2(s * m[..., k, j], m[..., j, j]),
+        jnp.arctan2(-s * m[..., j, k], m[..., k, k]),
     )
-    c = jnp.where(locked, 0.0, jnp.arctan2(-m[..., 0, 1], m[..., 0, 0]))
+    c = jnp.where(locked, 0.0, jnp.arctan2(-s * m[..., i, j], m[..., i, i]))
     e = jnp.stack([a, b, c], axis=-1)
     return jnp.rad2deg(e) if degrees else e
 
@@ -167,7 +212,7 @@ def rotvec_to_rotmat(rv: jax.Array) -> jax.Array:
     row1 = jnp.stack([y * x * C + z * s, c + y * y * C, y * z * C - x * s], axis=-1)
     row2 = jnp.stack([z * x * C - y * s, z * y * C + x * s, c + z * z * C], axis=-1)
     m = jnp.stack([row0, row1, row2], axis=-2)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=rv.dtype), m.shape)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=m.dtype), m.shape)
     # First-order fallback for tiny angles keeps gradients clean.
     skew = _skew(rv)
     return jnp.where(small[..., None], eye + skew, m)
