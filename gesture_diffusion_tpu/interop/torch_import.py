@@ -101,6 +101,22 @@ def _se_block(sd: Mapping, prefix: str, has_proj: bool):
     return params, stats
 
 
+def _se_bottleneck(sd: Mapping, prefix: str, has_proj: bool):
+    """SEBottleneck (ResNetBlocks.py:40-78): 1x1 / 3x3 / 1x1x4 convs."""
+    params = {"conv1": _conv(sd, f"{prefix}.conv1"),
+              "conv2": _conv(sd, f"{prefix}.conv2"),
+              "conv3": _conv(sd, f"{prefix}.conv3"),
+              "se": {"Dense_0": _linear(sd, f"{prefix}.se.fc.0"),
+                     "Dense_1": _linear(sd, f"{prefix}.se.fc.2")}}
+    stats = {}
+    for bn in ("bn1", "bn2", "bn3"):
+        params[bn], stats[bn] = _bn(sd, f"{prefix}.{bn}")
+    if has_proj:
+        params["proj_conv"] = _conv(sd, f"{prefix}.downsample.0")
+        params["proj_bn"], stats["proj_bn"] = _bn(sd, f"{prefix}.downsample.1")
+    return params, stats
+
+
 def _tap_head(sd: Mapping, tag: str, base: str):
     params = {"conv": _conv(sd, f"{base}.conv_{tag}"),
               "fc": _linear(sd, f"{base}.fc_{tag}")}

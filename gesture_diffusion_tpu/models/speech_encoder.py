@@ -87,6 +87,49 @@ class SEBasicBlock(nn.Module):
         return jax.nn.relu(y + residual)
 
 
+class SEBottleneck(nn.Module):
+    """1x1 reduce / 3x3 / 1x1 expand(x4) bottleneck with SE, bn-then-relu
+    order (reference ``ResNetBlocks.py:40-78``).  Unused by the reference's
+    operational config (its ResNetSE34V2 builds SEBasicBlocks only) but part
+    of its model-zoo surface; expansion = 4.
+    """
+
+    planes: int
+    stride: int = 1
+    use_projection: bool = False
+    dtype: Optional[Dtype] = None
+
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
+        y = SELayer(self.planes * self.expansion, dtype=self.dtype,
+                    name="se")(y)
+        if self.use_projection:
+            residual = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=self.stride, use_bias=False,
+                               dtype=self.dtype, name="proj_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    epsilon=1e-5, dtype=self.dtype,
+                                    name="proj_bn")(residual)
+        return jax.nn.relu(y + residual)
+
+
 class TapHead(nn.Module):
     """valid conv + relu + bn + Linear over flattened (channel, freq)."""
 

@@ -22,6 +22,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialise multi-host JAX (DCN between hosts, ICI within) and return
+    this host's process index.  Safe to call on a single host (no-op).
+
+    Replaces the reference's ``dist.init_process_group``/env:// rendezvous
+    (``utils/pytorch_ddp.py:6-27``); afterwards the same ``make_mesh``/
+    ``pjit`` code spans all hosts' devices, and the data loader slices
+    per host via ``training.data.host_slice``.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index()
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

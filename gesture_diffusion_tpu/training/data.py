@@ -34,6 +34,24 @@ class ArrayDataset:
         return self.data["pose"].shape[-1]
 
 
+def host_slice(indices: np.ndarray, process_index: int,
+               process_count: int) -> np.ndarray:
+    """This host's disjoint share of a (globally identical) index batch.
+
+    DistributedSampler semantics (``models/trainer.py:29,35``): every host
+    draws the SAME seeded permutation, then takes a contiguous
+    1/process_count slice of each global batch.  Requires the global batch
+    size to be divisible by process_count (as the reference requires the
+    batch to divide across ranks).
+    """
+    if len(indices) % process_count:
+        raise ValueError(
+            f"global batch {len(indices)} not divisible by "
+            f"{process_count} hosts")
+    per_host = len(indices) // process_count
+    return indices[process_index * per_host:(process_index + 1) * per_host]
+
+
 def iter_batches(
     dataset: ArrayDataset,
     batch_size: int,
@@ -41,18 +59,44 @@ def iter_batches(
     shuffle: bool = True,
     drop_last: bool = True,
     mesh: Optional[Mesh] = None,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> Iterator[Dict[str, jax.Array]]:
+    """Yield global batches of ``batch_size``; under multi-host SPMD each
+    host materialises only its ``host_slice`` and the global sharded array
+    is assembled with ``jax.make_array_from_process_local_data``.
+
+    ``process_index``/``process_count`` default to the runtime's
+    (``jax.process_index()``); pass explicit values to fake a multi-host
+    layout in tests.
+    """
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_index is None:
+        process_index = jax.process_index()
     n = len(dataset)
     idx = np.arange(n)
     if shuffle:
         assert rng is not None, "shuffling requires a generator"
-        rng.shuffle(idx)
+        rng.shuffle(idx)         # same seed on every host -> same permutation
     n_batches = n // batch_size if drop_last else -(-n // batch_size)
+    multihost = process_count > 1
     for b in range(n_batches):
         sel = idx[b * batch_size:(b + 1) * batch_size]
-        batch = {k: v[sel] for k, v in dataset.data.items()}
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
+        if multihost:
+            local = host_slice(sel, process_index, process_count)
+            batch = {k: v[local] for k, v in dataset.data.items()}
+            if mesh is not None:
+                from ..parallel import data_sharding
+                s = data_sharding(mesh)
+                batch = {
+                    k: jax.make_array_from_process_local_data(
+                        s, v, global_shape=(len(sel),) + v.shape[1:])
+                    for k, v in batch.items()}
+        else:
+            batch = {k: v[sel] for k, v in dataset.data.items()}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
         yield batch
 
 

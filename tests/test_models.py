@@ -212,3 +212,56 @@ class TestDenoiser:
         after = jax.tree.leaves(mutated["batch_stats"])
         assert any(not np.allclose(np.asarray(a), np.asarray(b))
                    for a, b in zip(before, after))
+
+
+class TestSEBottleneck:
+    """Forward parity vs the EXECUTED reference SEBottleneck
+    (ResNetBlocks.py:40-78) with transplanted weights."""
+
+    def test_torch_oracle(self):
+        import importlib.util
+        import torch
+        import torch.nn as tnn
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_resnetblocks",
+            "/root/reference/models/modules/ha2g/model/ResNetBlocks.py")
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        torch.manual_seed(0)
+        inplanes, planes, stride = 16, 8, 2
+        downsample = tnn.Sequential(
+            tnn.Conv2d(inplanes, planes * 4, kernel_size=1, stride=stride,
+                       bias=False),
+            tnn.BatchNorm2d(planes * 4))
+        block = ref.SEBottleneck(inplanes, planes, stride=stride,
+                                 downsample=downsample).eval()
+        # randomise BN stats so eval mode is a real check
+        with torch.no_grad():
+            for m in block.modules():
+                if isinstance(m, tnn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.1)
+                    m.running_var.uniform_(0.5, 1.5)
+
+        x = torch.randn(2, inplanes, 12, 16)
+        with torch.no_grad():
+            want = block(x).permute(0, 2, 3, 1).numpy()       # NCHW -> NHWC
+
+        from gesture_diffusion_tpu.interop.torch_import import _se_bottleneck
+        from gesture_diffusion_tpu.models.speech_encoder import SEBottleneck
+
+        sd = {f"x.{k}": v for k, v in block.state_dict().items()}
+        params, stats = _se_bottleneck(sd, "x", has_proj=False)
+        params["proj_conv"] = {
+            "kernel": sd["x.downsample.0.weight"].permute(2, 3, 1, 0).numpy()}
+        params["proj_bn"] = {"scale": sd["x.downsample.1.weight"].numpy(),
+                             "bias": sd["x.downsample.1.bias"].numpy()}
+        stats["proj_bn"] = {"mean": sd["x.downsample.1.running_mean"].numpy(),
+                            "var": sd["x.downsample.1.running_var"].numpy()}
+
+        ours = SEBottleneck(planes=planes, stride=stride, use_projection=True)
+        variables = {"params": params, "batch_stats": stats}
+        got = ours.apply(variables, jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+                         train=False)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)

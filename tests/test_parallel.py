@@ -4,6 +4,7 @@ helpers behave."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gesture_diffusion_tpu.diffusion import make_diffusion, ddim_sample_loop
 from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
@@ -117,3 +118,47 @@ def test_sharded_sampling_matches_single_device():
     # sharded execution reorders reductions; tolerance covers float noise
     np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded_out),
                                atol=1e-3)
+
+
+class TestMultiHostDataSharding:
+    """Per-host dataset slicing (DistributedSampler semantics,
+    models/trainer.py:29,35) — process layout faked via the injectable
+    process_index/process_count arguments."""
+
+    def test_host_slice_disjoint_and_covering(self):
+        from gesture_diffusion_tpu.training.data import host_slice
+        idx = np.random.default_rng(0).permutation(64)
+        parts = [host_slice(idx, r, 4) for r in range(4)]
+        assert all(len(p) == 16 for p in parts)
+        assert sorted(np.concatenate(parts)) == sorted(idx)
+        flat = set()
+        for p in parts:
+            assert flat.isdisjoint(p)
+            flat |= set(p)
+
+    def test_host_slice_rejects_indivisible(self):
+        from gesture_diffusion_tpu.training.data import host_slice
+        with pytest.raises(ValueError):
+            host_slice(np.arange(10), 0, 4)
+
+    def test_faked_hosts_reassemble_the_global_batch(self):
+        from gesture_diffusion_tpu.training.data import (ArrayDataset,
+                                                         iter_batches)
+        rng = np.random.default_rng(3)
+        ds = ArrayDataset({"pose": rng.normal(size=(24, 5, 2)),
+                           "wav": rng.normal(size=(24, 7))})
+        # single-host reference epoch
+        global_batches = list(iter_batches(
+            ds, 8, rng=np.random.default_rng(11), shuffle=True,
+            process_index=0, process_count=1))
+        # each fake host runs the SAME seeded permutation
+        per_host = [list(iter_batches(
+            ds, 8, rng=np.random.default_rng(11), shuffle=True,
+            process_index=r, process_count=4)) for r in range(4)]
+        assert len(global_batches) == 3
+        for b in range(3):
+            for key in ("pose", "wav"):
+                stacked = np.concatenate(
+                    [np.asarray(per_host[r][b][key]) for r in range(4)], axis=0)
+                np.testing.assert_array_equal(
+                    stacked, np.asarray(global_batches[b][key]))
