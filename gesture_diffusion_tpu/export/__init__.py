@@ -1,3 +1,4 @@
+from .avi import read_avi_structure, write_avi
 from .pose2bvh import (
     pose2bvh,
     pose2bvh_consistent,
@@ -6,4 +7,4 @@ from .pose2bvh import (
 )
 
 __all__ = ["pose2bvh", "pose2bvh_consistent", "sample2bvh_batch",
-           "butter_lowpass_filter"]
+           "butter_lowpass_filter", "write_avi", "read_avi_structure"]

@@ -5,9 +5,11 @@ node tree, FK, and zero-insertion for joint subsets all come from
 ``data.Skeleton`` (derived from the hierarchy text) instead of the
 reference's hand-coded per-layout index tables.
 
-Output formats depend on available writers: ffmpeg is not in this image, so
-animations save as GIF (pillow writer) or a directory of PNG frames; audio
-is written alongside as .wav (the reference muxed with moviepy).
+Output formats: .avi writes video WITH the speech audio muxed in (native
+RIFF/MJPEG+PCM writer, ``export/avi.py`` — the reference used moviepy/ffmpeg,
+neither of which exists in this image); .gif uses the pillow writer; any
+other path gets a directory of PNG frames.  For non-avi outputs audio is
+written alongside as .wav.
 """
 
 from __future__ import annotations
@@ -63,9 +65,11 @@ def make_skeleton_video(
     wav_sr: int = 16000,
     lim: float = 100.0,
 ) -> str:
-    """Animate the skeleton.  Writes a .gif (pillow) when output_path ends
-    in .gif, otherwise a directory of PNG frames; audio (if given) is saved
-    next to it as .wav.  Returns the path written."""
+    """Animate the skeleton.  .avi muxes the audio into the file (MJPEG +
+    PCM, reference ``vis_skeleton.py:283-339`` equivalent); .gif uses the
+    pillow writer; otherwise a directory of PNG frames.  For non-avi
+    outputs audio (if given) is saved next to it as .wav.  Returns the
+    path written."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -84,6 +88,22 @@ def make_skeleton_video(
             ax.plot([pos[p, 0], pos[c, 0]], [pos[p, 2], pos[c, 2]],
                     [pos[p, 1], pos[c, 1]], c="blue", linewidth=0.5)
         ax.set_xlim(-lim, lim); ax.set_ylim(lim, -lim); ax.set_zlim(-lim, lim)
+
+    if output_path.endswith(".avi"):
+        from .avi import write_avi
+
+        def frames():
+            for i in range(len(positions)):
+                draw(i)
+                fig.canvas.draw()
+                buf = np.asarray(fig.canvas.buffer_rgba())
+                yield buf[:, :, :3]
+
+        write_avi(output_path, frames(), fps=fps,
+                  audio=None if wav is None else np.asarray(wav),
+                  sample_rate=wav_sr)
+        plt.close(fig)
+        return output_path
 
     if wav is not None:
         from scipy.io import wavfile

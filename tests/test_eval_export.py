@@ -165,3 +165,70 @@ class TestExport:
         assert all(os.path.exists(p) for p in written)
         parsed = parse_bvh(os.path.join(out_dir, "sample_0-out.bvh"))
         assert parsed.n_frames == 8
+
+
+class TestAviMuxer:
+    """Native RIFF/AVI writer (export/avi.py) — the reference's
+    moviepy/ffmpeg mux (utils/vis_skeleton.py:283-339) equivalent."""
+
+    def _frames(self, n=6, h=32, w=48):
+        rng = np.random.default_rng(0)
+        return [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                for _ in range(n)]
+
+    @pytest.mark.parametrize("codec", ["mjpeg", "raw"])
+    def test_structure_and_interleave(self, tmp_path, codec):
+        from gesture_diffusion_tpu.export.avi import (read_avi_structure,
+                                                      write_avi)
+        wav = np.sin(np.linspace(0, 550.0, 4800)).astype(np.float32)
+        p = write_avi(str(tmp_path / f"clip_{codec}.avi"), self._frames(),
+                      fps=20, audio=wav, sample_rate=16000, codec=codec)
+        info = read_avi_structure(p)
+        assert info["video_frames"] == 6
+        assert info["frames"] == 6
+        assert info["streams"] == 2
+        assert (info["width"], info["height"]) == (48, 32)
+        assert info["usec_per_frame"] == 50000
+        # all samples land in the file: 4800 x int16 mono
+        assert info["audio_bytes"] == 4800 * 2
+        assert info["index_entries"] == info["video_frames"] + info["audio_chunks"]
+        assert info["flags"] & 0x10                       # AVIF_HASINDEX
+
+    def test_mjpeg_frames_decode_back(self, tmp_path):
+        import io
+        import struct
+        from PIL import Image
+        from gesture_diffusion_tpu.export.avi import write_avi
+        # smooth content (JPEG obliterates pure noise)
+        yy, xx = np.mgrid[0:32, 0:48]
+        base = ((yy * 4 + xx * 2) % 256).astype(np.uint8)
+        frames = [np.stack([base, base[::-1], np.roll(base, 7, axis=1)], -1)
+                  for _ in range(2)]
+        p = write_avi(str(tmp_path / "c.avi"), frames, fps=10, codec="mjpeg",
+                      quality=95)
+        blob = open(p, "rb").read()
+        at = blob.find(b"00dc")
+        size = struct.unpack("<I", blob[at + 4:at + 8])[0]
+        img = np.asarray(Image.open(io.BytesIO(blob[at + 8:at + 8 + size])))
+        assert img.shape == frames[0].shape
+        # JPEG is lossy; just require correlation with the source
+        a = img.astype(np.float64).ravel()
+        b = frames[0].astype(np.float64).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.8
+
+    def test_skeleton_video_avi_with_audio(self, tmp_path):
+        from gesture_diffusion_tpu.data import Skeleton, parse_bvh
+        from gesture_diffusion_tpu.export.avi import read_avi_structure
+        from gesture_diffusion_tpu.export.vis_skeleton import (
+            make_skeleton_video, pose_to_positions)
+        from tests.test_data import TOY_BVH
+
+        sk = Skeleton.from_bvh(parse_bvh(TOY_BVH, is_text=True))
+        pose = np.random.default_rng(1).uniform(-20, 20, (4, 3 * 3))
+        pos = pose_to_positions(sk, pose, ["Spine", "Head", "LeftArm"])
+        out = make_skeleton_video(pos, sk, str(tmp_path / "skel.avi"), fps=4,
+                                  wav=np.zeros(16000, np.float32), lim=5)
+        info = read_avi_structure(out)
+        assert info["video_frames"] == 4 and info["streams"] == 2
+        assert info["audio_bytes"] == 16000 * 2
