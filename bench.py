@@ -33,6 +33,9 @@ def measure_ours(repetitions: int = 30, warmup: int = 5):
     import jax.numpy as jnp
 
     sys.path.insert(0, REPO)
+    from gesture_diffusion_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
     from gesture_diffusion_tpu.diffusion import make_diffusion
     from gesture_diffusion_tpu.generation import Generator

@@ -47,3 +47,17 @@ def time_fn(
             jax.block_until_ready(out)
             timings[rep] = (time.perf_counter() - t0) * 1e3
     return float(timings.mean()), float(timings.std()), out
+
+
+def enable_compilation_cache(path: str = "/root/.cache/jax_comp",
+                             min_compile_secs: float = 1.0) -> None:
+    """Persistent XLA compilation cache: repeat invocations of bench/eval/
+    train skip the (minutes-long on this 1-core host) compile of unchanged
+    programs.  Safe no-op if the backend rejects it."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
