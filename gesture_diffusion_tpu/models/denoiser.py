@@ -73,7 +73,11 @@ class DenoiserConfig:
     decoder_type: str = "oneway_cross_attention"
     # ^ | cross_attention | cross_attention_gcn | unet_attention
     pose_seed_len: int = 10               # inpaint only
-    dtype: Optional[str] = None           # e.g. "bfloat16"
+    dtype: Optional[str] = None           # e.g. "bfloat16" (whole model)
+    encoder_dtype: Optional[str] = None   # mixed precision: conv trunk only
+    # ^ the SE-ResNet speech encoder is conv/MXU-bound and tolerates bf16;
+    #   the decoder's LN/softmax paths are VPU-bound where bf16 cast churn
+    #   LOSES time (measured, PERF.md) — so the policy splits them.
     # cross_attention_gcn extras
     graph_layout: str = "beat"
     graph_strategy: str = "spatial"
@@ -93,7 +97,9 @@ class GestureDenoiser(nn.Module):
     def setup(self):
         c = self.cfg
         dt = c.jax_dtype
-        self.speech_encoder = HA2GSpeechEncoder(c.d_model, c.dropout, dtype=dt)
+        enc_dt = jnp.dtype(c.encoder_dtype) if c.encoder_dtype else dt
+        self.speech_encoder = HA2GSpeechEncoder(c.d_model, c.dropout,
+                                                dtype=enc_dt)
         self.step_encoder = DiffusionStepEncoder(c.d_model, c.dropout, dtype=dt)
         common = dict(d_x=c.d_pose, d_memory=c.d_model, d_model=c.d_model,
                       heads=c.heads, n_layers=c.n_layers, d_out=c.d_pose,

@@ -25,7 +25,8 @@ SUPPORTED_DECODERS = ("oneway_cross_attention", "cross_attention",
                       "cross_attention_gcn", "unet_attention")
 
 
-def build_model(d_pose: int, model_params, dtype: "str | None" = None) -> GestureDenoiser:
+def build_model(d_pose: int, model_params, dtype: "str | None" = None,
+                encoder_dtype: "str | None" = None) -> GestureDenoiser:
     decoder_params = model_params.get("Decoder")
     if decoder_params.type not in SUPPORTED_DECODERS:
         raise ValueError(f"Unsupported decoder type {decoder_params.type}")
@@ -56,6 +57,7 @@ def build_model(d_pose: int, model_params, dtype: "str | None" = None) -> Gestur
         decoder_type=decoder_params.type,
         pose_seed_len=(gen.get("pose_seed_len", 10) if gen is not None else 10),
         dtype=dtype,
+        encoder_dtype=encoder_dtype,
         **extras,
     )
     return GestureDenoiser(cfg)
@@ -77,9 +79,11 @@ def build_all(
     d_pose: int,
     is_training: bool = True,
     dtype: "str | None" = None,
+    encoder_dtype: "str | None" = None,
 ) -> ModelBundle:
     model_params = config.Model
-    model = build_model(d_pose, model_params, dtype=dtype)
+    model = build_model(d_pose, model_params, dtype=dtype,
+                        encoder_dtype=encoder_dtype)
 
     dp = model_params.get("Diffusion")
     if dp.get("type", "gaussian") != "gaussian":

@@ -103,7 +103,8 @@ def train_model(config):
     train_ds, val_ds, _ = load_datasets(config)
     d_pose = train_ds.get_dims()["d_pose"]
     bundle = build_all(config, d_pose, is_training=True,
-                       dtype=config.Train.get("dtype"))
+                       dtype=config.Train.get("dtype"),
+                       encoder_dtype=config.Train.get("encoder_dtype"))
     log_dir = os.path.join(config.Meta.log_dir, config.Meta.name)
     trainer = Trainer(
         bundle.model, bundle.schedule, bundle.optimizer, bundle.lr_schedule,
