@@ -190,3 +190,118 @@ def import_torch_state_dict(state_dict: Mapping, cfg: DenoiserConfig) -> dict:
         params["blend_layer"] = _linear(sd, "blend_layer")
     batch_stats = {"speech_encoder": {"resnet": resnet_stats}}
     return {"params": params, "batch_stats": batch_stats}
+
+
+# ---------------------------------------------------------------------------
+# GLIDE UNet family (models/glide_unet.py <- modules/glide/unet.py)
+# ---------------------------------------------------------------------------
+
+def _conv_nd(sd: Mapping, prefix: str) -> dict:
+    """torch conv weight (O, I, *k) -> flax channel-last kernel (*k, I, O)."""
+    w = _np(sd[f"{prefix}.weight"])
+    w = np.moveaxis(w, (0, 1), (-1, -2))
+    out = {"kernel": w}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _dense_from_conv1(sd: Mapping, prefix: str) -> dict:
+    """1x1 Conv1d (O, I, 1) -> Dense kernel (I, O) (channel order preserved,
+    so the head-major interleaved QKV layout carries over verbatim)."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"])[:, :, 0].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _glide_res(sd: Mapping, prefix: str) -> dict:
+    out = {
+        "in_norm": _layernorm(sd, f"{prefix}.in_layers.0"),
+        "in_conv": _conv_nd(sd, f"{prefix}.in_layers.2"),
+        "emb_proj": _linear(sd, f"{prefix}.emb_layers.1"),
+        "out_norm": _layernorm(sd, f"{prefix}.out_layers.0"),
+        "out_conv": _conv_nd(sd, f"{prefix}.out_layers.3"),
+    }
+    if f"{prefix}.skip_connection.weight" in sd:
+        out["skip"] = _conv_nd(sd, f"{prefix}.skip_connection")
+    return out
+
+
+def _glide_attn(sd: Mapping, prefix: str) -> dict:
+    out = {
+        "norm": _layernorm(sd, f"{prefix}.norm"),
+        "qkv": _dense_from_conv1(sd, f"{prefix}.qkv"),
+        "proj_out": _dense_from_conv1(sd, f"{prefix}.proj_out"),
+    }
+    if f"{prefix}.encoder_kv.weight" in sd:
+        out["encoder_kv"] = _dense_from_conv1(sd, f"{prefix}.encoder_kv")
+    return out
+
+
+def import_glide_unet_state_dict(
+    state_dict: Mapping,
+    num_res_blocks: int,
+    attention_resolutions,
+    channel_mult=(1, 2, 4, 8),
+    conv_resample: bool = True,
+    resblock_updown: bool = False,
+    num_classes: "int | None" = None,
+) -> dict:
+    """Reference ``UNetModel`` state_dict -> ``GlideUNet`` params.
+
+    Walks the same block-construction loop as ``unet.py:360-493`` /
+    ``models/glide_unet.py::GlideUNet`` so torch module indices line up
+    with the flax layer names."""
+    sd = dict(state_dict)
+    attn_res = set(attention_resolutions)
+    params = {
+        "time_embed_0": _linear(sd, "time_embed.0"),
+        "time_embed_2": _linear(sd, "time_embed.2"),
+        "input_0_conv": _conv_nd(sd, "input_blocks.0.0"),
+        "out_norm": _layernorm(sd, "out.0"),
+        "out_conv": _conv_nd(sd, "out.2"),
+    }
+    if num_classes is not None:
+        params["label_emb"] = {"embedding": _np(sd["label_emb.weight"])}
+
+    ds, ti = 1, 1
+    for level in range(len(channel_mult)):
+        for _ in range(num_res_blocks):
+            params[f"input_{ti}_res"] = _glide_res(sd, f"input_blocks.{ti}.0")
+            if ds in attn_res:
+                params[f"input_{ti}_attn"] = _glide_attn(
+                    sd, f"input_blocks.{ti}.1")
+            ti += 1
+        if level != len(channel_mult) - 1:
+            if resblock_updown:
+                params[f"input_{ti}_down"] = _glide_res(
+                    sd, f"input_blocks.{ti}.0")
+            elif conv_resample:
+                params[f"input_{ti}_down"] = _conv_nd(
+                    sd, f"input_blocks.{ti}.0.op")
+            ti += 1
+            ds *= 2
+
+    params["middle_res1"] = _glide_res(sd, "middle_block.0")
+    params["middle_attn"] = _glide_attn(sd, "middle_block.1")
+    params["middle_res2"] = _glide_res(sd, "middle_block.2")
+
+    for oi in range(len(channel_mult) * (num_res_blocks + 1)):
+        level = len(channel_mult) - 1 - oi // (num_res_blocks + 1)
+        i = oi % (num_res_blocks + 1)
+        params[f"output_{oi}_res"] = _glide_res(sd, f"output_blocks.{oi}.0")
+        li = 1
+        if ds in attn_res:
+            params[f"output_{oi}_attn"] = _glide_attn(
+                sd, f"output_blocks.{oi}.{li}")
+            li += 1
+        if level and i == num_res_blocks:
+            if resblock_updown:
+                params[f"output_{oi}_up"] = _glide_res(
+                    sd, f"output_blocks.{oi}.{li}")
+            elif conv_resample:
+                params[f"output_{oi}_up"] = _conv_nd(
+                    sd, f"output_blocks.{oi}.{li}.conv")
+            ds //= 2
+    return params
