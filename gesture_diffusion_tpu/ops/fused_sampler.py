@@ -19,6 +19,22 @@ Computation per step (mirrors models/denoiser.py + models/decoders.py):
   4 x { pre-LN self-attn (dconv QKV) -> pre-LN cross-attn(mem) -> pre-LN FF }
   eps   = out_proj(LN(h));  x0 = c0*x - c1*eps;  x0 = blend(x0)
   x     = c2*x0 + c3*eps
+
+Kernel-level optimizations over the straightforward translation (all
+numerics-preserving up to fp reassociation; the kernel is VPU-bound at
+these shapes, so most of them move work onto the otherwise-idle MXU or
+delete VPU passes):
+  * LayerNorm scale/bias are FOLDED into the following projection weights
+    at pack time: z = norm(x)*s + b feeding zW + c equals norm(x)(s.W) +
+    (bW + c), so the kernel's ln() is normalize-only.
+  * Q/K/V projections are one (rows, D) x (D, 3D) matmul (self-attention;
+    cross-attention uses a merged (D, 2D) K/V), and the Primer depthwise
+    conv runs ONCE over the merged lanes.
+  * The depthwise conv's row shifts are permutation-matrix MXU matmuls
+    (exact; boundary zeroing baked into the loop-invariant matrices) —
+    no f32 roll scratch, masks, or casts (see dconv()).
+  * Per-clip, head-stacked attention: one score matmul + one softmax per
+    clip covers all heads via lane-masked query stacking (see attention()).
 """
 
 from __future__ import annotations
@@ -41,7 +57,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 class PackedDenoiser(NamedTuple):
-    """Stacked, padded weights for the fused kernel (L = n_layers)."""
+    """Stacked, padded weights for the fused kernel (L = n_layers).
+
+    All LayerNorm affine terms are pre-folded into the projection weights
+    that consume them (ln1 -> self qkv, ln2 -> cross q + kv, ln3 -> ff1,
+    out_norm -> out head)."""
 
     # embeddings
     w_embx: jax.Array      # (Dp_pad, D)
@@ -56,33 +76,38 @@ class PackedDenoiser(NamedTuple):
     b_emm: jax.Array
     pe_m0: jax.Array       # (1, D)
     # per-layer stacks
-    ln1_s: jax.Array       # (L, 1, D)
-    ln1_b: jax.Array
-    self_wqkv: jax.Array   # (L, 3, D, D)
-    self_bqkv: jax.Array   # (L, 3, 1, D)
-    self_dconv: jax.Array  # (L, 3, 3, D)  [q/k/v][tap] tiled across heads
-    self_dbias: jax.Array  # (L, 3, 1, D)
+    self_wqkv: jax.Array   # (L, D, 3D)   ln1-folded
+    self_bqkv: jax.Array   # (L, 1, 3D)
+    self_dconv: jax.Array  # (L, 3, 3D)   [tap][q|k|v lanes] tiled across heads
+    self_dbias: jax.Array  # (L, 1, 3D)
     self_wo: jax.Array     # (L, D, D)
     self_bo: jax.Array     # (L, 1, D)
-    ln2_s: jax.Array
-    ln2_b: jax.Array
-    cross_wqkv: jax.Array
-    cross_bqkv: jax.Array
-    cross_dconv: jax.Array
-    cross_dbias: jax.Array
-    cross_wo: jax.Array
-    cross_bo: jax.Array
-    ln3_s: jax.Array
-    ln3_b: jax.Array
-    ff_w1: jax.Array       # (L, D, F)
+    cross_wq: jax.Array    # (L, D, D)    ln2-folded
+    cross_bq: jax.Array    # (L, 1, D)
+    cross_wkv: jax.Array   # (L, D, 2D)   (memory side, no LN fold)
+    cross_bkv: jax.Array   # (L, 1, 2D)
+    cross_dq: jax.Array    # (L, 3, D)
+    cross_dqb: jax.Array   # (L, 1, D)
+    cross_dkv: jax.Array   # (L, 3, 2D)
+    cross_dkvb: jax.Array  # (L, 1, 2D)
+    cross_wo: jax.Array    # (L, D, D)
+    cross_bo: jax.Array    # (L, 1, D)
+    ff_w1: jax.Array       # (L, D, F)    ln3-folded
     ff_b1: jax.Array       # (L, 1, F)
     ff_w2: jax.Array       # (L, F, D)
     ff_b2: jax.Array       # (L, 1, D)
-    # output head
-    lno_s: jax.Array       # (1, D)
-    lno_b: jax.Array
+    # output head (out_norm-folded)
     w_out: jax.Array       # (D, Dp_pad)
     b_out: jax.Array       # (1, Dp_pad)
+
+
+def _fold_ln(w: jax.Array, b: jax.Array, ln_scale: jax.Array,
+             ln_bias: jax.Array):
+    """(zW + b) with z = n*s + t  ->  n(W*s[:,None]) + (tW + b)."""
+    w32 = w.astype(jnp.float32)
+    w_f = w32 * ln_scale.astype(jnp.float32)[:, None]
+    b_f = b.astype(jnp.float32) + ln_bias.astype(jnp.float32) @ w32
+    return w_f, b_f
 
 
 def pack_oneway_denoiser(
@@ -101,6 +126,9 @@ def pack_oneway_denoiser(
     dec = params["decoder"]
     step = params["step_encoder"]
     d_model = dec["emb_x"]["kernel"].shape[1]
+    if d_model % 128:
+        raise ValueError("fused kernel requires d_model % 128 == 0 "
+                         "(merged-QKV lane slicing)")
     dp_pad = _round_up(d_pose, 128)
     wd = weight_dtype
 
@@ -115,43 +143,82 @@ def pack_oneway_denoiser(
     layers = sorted((k for k in dec if k.startswith("layer")),
                     key=lambda s: int(s[len("layer"):]))
 
-    def stack_attn(attn_key):
+    def tiled_dconv(a, names):
+        d_k = a["query_dconv"]["kernel"].shape[1]
+        n_heads = d_model // d_k
+        taps = jnp.concatenate(
+            [jnp.tile(a[nm]["kernel"], (1, n_heads)) for nm in names], axis=1)
+        bias = jnp.concatenate(
+            [jnp.tile(a[nm]["bias"], (n_heads,))[None, :] for nm in names],
+            axis=1)
+        return taps, bias
+
+    def stack_self():
         wqkv, bqkv, dconv, dbias, wo, bo = [], [], [], [], [], []
         for lk in layers:
-            a = dec[lk][attn_key]
-            wqkv.append(jnp.stack([a["query"]["kernel"], a["key"]["kernel"],
-                                   a["value"]["kernel"]]))
-            bqkv.append(jnp.stack([a["query"]["bias"], a["key"]["bias"],
-                                   a["value"]["bias"]])[:, None, :])
-            d_k = a["query_dconv"]["kernel"].shape[1]
-            n_heads = d_model // d_k
-            taps, biases = [], []
-            for name in ("query_dconv", "key_dconv", "value_dconv"):
-                taps.append(jnp.tile(a[name]["kernel"], (1, n_heads)))  # (3, D)
-                biases.append(jnp.tile(a[name]["bias"], (n_heads,))[None, :])
-            dconv.append(jnp.stack(taps))                         # (3, 3, D)
-            dbias.append(jnp.stack(biases))                       # (3, 1, D)
+            a = dec[lk]["self_attn"]
+            ln = dec[lk]["norm_self_attn"]
+            w3 = jnp.concatenate([a["query"]["kernel"], a["key"]["kernel"],
+                                  a["value"]["kernel"]], axis=1)  # (D, 3D)
+            b3 = jnp.concatenate([a["query"]["bias"], a["key"]["bias"],
+                                  a["value"]["bias"]])[None, :]
+            w3, b3 = _fold_ln(w3, b3, ln["scale"], ln["bias"])
+            wqkv.append(w3)
+            bqkv.append(b3)
+            taps, bias = tiled_dconv(
+                a, ("query_dconv", "key_dconv", "value_dconv"))
+            dconv.append(taps)
+            dbias.append(bias)
             wo.append(a["output"]["kernel"])
             bo.append(a["output"]["bias"][None, :])
         return (jnp.stack(wqkv).astype(wd), jnp.stack(bqkv).astype(wd),
                 jnp.stack(dconv).astype(wd), jnp.stack(dbias).astype(wd),
                 jnp.stack(wo).astype(wd), jnp.stack(bo).astype(wd))
 
-    def stack_ln(norm_key):
-        s = jnp.stack([dec[lk][norm_key]["scale"][None, :] for lk in layers])
-        b = jnp.stack([dec[lk][norm_key]["bias"][None, :] for lk in layers])
-        return s.astype(jnp.float32), b.astype(jnp.float32)
+    def stack_cross():
+        wq, bq, wkv, bkv, dq, dqb, dkv, dkvb, wo, bo = ([] for _ in range(10))
+        for lk in layers:
+            a = dec[lk]["cross_attn"]
+            ln = dec[lk]["norm_cross_attn"]
+            w_q, b_q = _fold_ln(a["query"]["kernel"],
+                                a["query"]["bias"][None, :],
+                                ln["scale"], ln["bias"])
+            wq.append(w_q)
+            bq.append(b_q)
+            wkv.append(jnp.concatenate([a["key"]["kernel"],
+                                        a["value"]["kernel"]], axis=1))
+            bkv.append(jnp.concatenate([a["key"]["bias"],
+                                        a["value"]["bias"]])[None, :])
+            taps_q, bias_q = tiled_dconv(a, ("query_dconv",))
+            taps_kv, bias_kv = tiled_dconv(a, ("key_dconv", "value_dconv"))
+            dq.append(taps_q)
+            dqb.append(bias_q)
+            dkv.append(taps_kv)
+            dkvb.append(bias_kv)
+            wo.append(a["output"]["kernel"])
+            bo.append(a["output"]["bias"][None, :])
+        return tuple(jnp.stack(x).astype(wd)
+                     for x in (wq, bq, wkv, bkv, dq, dqb, dkv, dkvb, wo, bo))
 
-    self_w = stack_attn("self_attn")
-    cross_w = stack_attn("cross_attn")
-    ln1 = stack_ln("norm_self_attn")
-    ln2 = stack_ln("norm_cross_attn")
-    ln3 = stack_ln("norm_ff")
+    self_w = stack_self()
+    cross_w = stack_cross()
 
-    ff_w1 = jnp.stack([dec[lk]["ff"]["layer1"]["kernel"] for lk in layers]).astype(wd)
-    ff_b1 = jnp.stack([dec[lk]["ff"]["layer1"]["bias"][None, :] for lk in layers]).astype(wd)
+    ff_w1, ff_b1 = [], []
+    for lk in layers:
+        w1, b1 = _fold_ln(dec[lk]["ff"]["layer1"]["kernel"],
+                          dec[lk]["ff"]["layer1"]["bias"][None, :],
+                          dec[lk]["norm_ff"]["scale"],
+                          dec[lk]["norm_ff"]["bias"])
+        ff_w1.append(w1)
+        ff_b1.append(b1)
+    ff_w1 = jnp.stack(ff_w1).astype(wd)
+    ff_b1 = jnp.stack(ff_b1).astype(wd)
     ff_w2 = jnp.stack([dec[lk]["ff"]["layer2"]["kernel"] for lk in layers]).astype(wd)
     ff_b2 = jnp.stack([dec[lk]["ff"]["layer2"]["bias"][None, :] for lk in layers]).astype(wd)
+
+    w_out, b_out = _fold_ln(pad_cols(dec["out_proj"]["kernel"], dp_pad),
+                            pad_cols(dec["out_proj"]["bias"][None, :], dp_pad),
+                            dec["out_norm"]["scale"], dec["out_norm"]["bias"])
 
     return PackedDenoiser(
         w_embx=pad_rows(dec["emb_x"]["kernel"], dp_pad).astype(wd),
@@ -164,18 +231,15 @@ def pack_oneway_denoiser(
         w_emm=dec["emb_mem"]["kernel"].astype(wd),
         b_emm=dec["emb_mem"]["bias"][None, :].astype(wd),
         pe_m0=pe[:1].astype(jnp.float32),
-        ln1_s=ln1[0], ln1_b=ln1[1],
         self_wqkv=self_w[0], self_bqkv=self_w[1], self_dconv=self_w[2],
         self_dbias=self_w[3], self_wo=self_w[4], self_bo=self_w[5],
-        ln2_s=ln2[0], ln2_b=ln2[1],
-        cross_wqkv=cross_w[0], cross_bqkv=cross_w[1], cross_dconv=cross_w[2],
-        cross_dbias=cross_w[3], cross_wo=cross_w[4], cross_bo=cross_w[5],
-        ln3_s=ln3[0], ln3_b=ln3[1],
+        cross_wq=cross_w[0], cross_bq=cross_w[1], cross_wkv=cross_w[2],
+        cross_bkv=cross_w[3], cross_dq=cross_w[4], cross_dqb=cross_w[5],
+        cross_dkv=cross_w[6], cross_dkvb=cross_w[7], cross_wo=cross_w[8],
+        cross_bo=cross_w[9],
         ff_w1=ff_w1, ff_b1=ff_b1, ff_w2=ff_w2, ff_b2=ff_b2,
-        lno_s=dec["out_norm"]["scale"][None, :].astype(jnp.float32),
-        lno_b=dec["out_norm"]["bias"][None, :].astype(jnp.float32),
-        w_out=pad_cols(dec["out_proj"]["kernel"], dp_pad).astype(wd),
-        b_out=pad_cols(dec["out_proj"]["bias"][None, :], dp_pad).astype(wd),
+        w_out=w_out.astype(wd),
+        b_out=b_out.astype(jnp.float32),
     )
 
 
@@ -233,30 +297,47 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
 
     n_clips > 1 packs several clips into one program as a long sequence:
     projections/FF run over (n_clips*T, D) — much better MXU fill — while
-    attention stays per-clip via block-diagonal score masking and the
-    depthwise conv masks its shifts at clip boundaries.
+    attention loops per clip (exact work, no cross-clip score waste) and
+    the depthwise conv's shift matrices zero at clip boundaries.
     """
     cd = compute_dtype
 
-    def ln(x, scale, bias):
+    def ln(x):
+        """Normalize-only (affine folded into the consuming matmul)."""
         x32 = x.astype(jnp.float32)
         mu = x32.mean(axis=-1, keepdims=True)
         var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
-        return ((x32 - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias).astype(cd)
+        return ((x32 - mu) * jax.lax.rsqrt(var + LN_EPS)).astype(cd)
 
-    def dconv(x, taps, bias, clip_len):
-        """x (n_clips*clip_len, D); y[t] = w0 x[t-1] + w1 x[t] + w2 x[t+1]
-        within each clip (shifts never cross clip boundaries).  Rolls run in
-        f32 (Mosaic has no bf16 rotate)."""
-        x32 = x.astype(jnp.float32)
-        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-        n_rows = x.shape[0]
-        zero = jnp.zeros_like(x32)
-        prev = jnp.where(rows % clip_len == 0, zero,
-                         pltpu.roll(x32, shift=1, axis=0)).astype(cd)
-        # circular roll by n-1 == shift -1 (pltpu.roll wants shift >= 0)
-        nxt = jnp.where(rows % clip_len == clip_len - 1, zero,
-                        pltpu.roll(x32, shift=n_rows - 1, axis=0)).astype(cd)
+    def shift_mats(n_rows, clip_len):
+        """Loop-invariant (n_rows, n_rows) row-shift permutation matrices
+        with clip-boundary zeroing baked in: S_prev @ x == x shifted down
+        one row (x[t-1], zero at each clip's first row), S_next @ x ==
+        x[t+1] (zero at each clip's last row)."""
+        i = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows), 1)
+        s_prev = jnp.where((j == i - 1) & (i % clip_len != 0),
+                           1.0, 0.0).astype(cd)
+        s_next = jnp.where((j == i + 1) & (i % clip_len != clip_len - 1),
+                           1.0, 0.0).astype(cd)
+        return s_prev, s_next
+
+    def dconv(x, taps, bias, shifts):
+        """Primer depthwise conv y[t] = w0 x[t-1] + w1 x[t] + w2 x[t+1]
+        (shifts never cross clip boundaries), with the row shifts computed
+        as permutation-matrix matmuls on the otherwise-idle MXU: exact
+        (each output element is a single 1.0*x product), no f32 roll
+        scratch (Mosaic's roll is f32-only), no boundary masks or casts —
+        the kernel is VPU-bound, so moving the shifts off the VPU is a
+        direct win and the scoped-VMEM footprint drops with the dropped
+        (rows, K*D) f32 temporaries."""
+        s_prev, s_next = shifts
+        # Mosaic requires a 32-bit matmul accumulator; values are exact
+        # single-term sums either way
+        prev = jnp.dot(s_prev, x,
+                       preferred_element_type=jnp.float32).astype(cd)
+        nxt = jnp.dot(s_next, x,
+                      preferred_element_type=jnp.float32).astype(cd)
         return prev * taps[0] + x * taps[1] + nxt * taps[2] + bias
 
     def head_masks(d_model):
@@ -264,64 +345,40 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, d_model), 1)
         return [(lane // d_k == h).astype(cd) for h in range(heads)]
 
-    def stacked_block_mask(n_q, q_len, n_k, k_len, group):
-        """(group*n_q, n_k) additive mask: -inf where the query's clip
-        (row % n_q) // q_len differs from the key's clip.  Stored bf16 —
-        it is VMEM-resident across the whole loop and only ever added to
-        fp32 scores (values are 0 / -1e9, exactly representable)."""
-        if n_clips == 1:
-            return None
-        qi = (jax.lax.broadcasted_iota(
-            jnp.int32, (group * n_q, n_k), 0) % n_q) // q_len
-        ki = jax.lax.broadcasted_iota(
-            jnp.int32, (group * n_q, n_k), 1) // k_len
-        return jnp.where(qi == ki, 0.0, -1e9).astype(jnp.bfloat16)
-
-    # heads per stacked-score matmul: all 8 for short sequences, fewer as
-    # the packed sequence grows so the (group*Rq, Rk) f32 score/attn stack
-    # transients stay under the 16 MB VMEM alongside the resident weights
-    rows_total = n_clips * t_window
-    if rows_total <= 128:
-        head_group = heads
-    elif rows_total <= 256 or cd == jnp.bfloat16:
-        head_group = max(1, heads // 2)
-    else:
-        head_group = max(1, heads // 4)
-
-    def mha(q_in, kv_in, wqkv, bqkv, dtaps, dbias, wo, bo, d_model,
-            q_len, k_len, bmask, out_masks):
-        """Head-stacked attention: Q_stack = [q*m_h for h in group] stacked
-        on rows, so ONE (g*Rq, D) x (D, Rk) matmul yields every head's
+    def attention(q, k, v, wo, bo, d_model, q_len, k_len, out_masks):
+        """Per-clip, head-stacked attention.  For each packed clip the
+        stack Q = [q_c * m_h for h in heads] (lane-masked queries on rows)
+        makes ONE (H*q_len, D) x (D, k_len) matmul yield every head's
         scores (q's zeroed lanes kill cross-head terms), one row-softmax
-        normalises all heads at once, and one (g*Rq, Rk) x (Rk, D) matmul
-        gives per-head outputs to be lane-masked and summed.  Identical
-        FLOPs to a per-head loop but ~6x fewer Mosaic ops and MXU-filling
-        shapes; avoids lane slicing (must be 128-aligned) entirely."""
+        normalises all heads at once, and one (H*q_len, k_len) x
+        (k_len, D) matmul gives per-head outputs to be lane-masked and
+        summed.  Looping clips instead of packing them block-diagonally
+        keeps softmax/score work at exactly heads*q_len*k_len per clip —
+        the block-diagonal alternative costs n_clips x more VPU time on
+        scores that the mask then throws away, and the fused kernel is
+        VPU-bound.  Clip slices are sublane slices (q_len, k_len multiples
+        of 8); lane slicing (128-aligned) is avoided entirely."""
         d_k = d_model // heads
         scale = 1.0 / np.sqrt(d_k)
-        q = dconv(jnp.dot(q_in, wqkv[0], preferred_element_type=jnp.float32
-                          ).astype(cd) + bqkv[0], dtaps[0], dbias[0], q_len)
-        k = dconv(jnp.dot(kv_in, wqkv[1], preferred_element_type=jnp.float32
-                          ).astype(cd) + bqkv[1], dtaps[1], dbias[1], k_len)
-        v = dconv(jnp.dot(kv_in, wqkv[2], preferred_element_type=jnp.float32
-                          ).astype(cd) + bqkv[2], dtaps[2], dbias[2], k_len)
-        n_q = q.shape[0]
-        kt = k.T
-        out = None
-        for g0 in range(0, heads, head_group):
-            # per-head lane masks are (1, D) — no big stacked mask buffers
+        outs = []
+        for c in range(n_clips):
+            qc = q[c * q_len:(c + 1) * q_len]
+            kc = k[c * k_len:(c + 1) * k_len]
+            vc = v[c * k_len:(c + 1) * k_len]
             q_stack = jnp.concatenate(
-                [q * out_masks[g0 + j] for j in range(head_group)], axis=0)
-            s = jnp.dot(q_stack, kt,
-                        preferred_element_type=jnp.float32) * scale
-            if bmask is not None:
-                s = s + bmask
+                [qc * out_masks[h] for h in range(heads)], axis=0)
+            s = jax.lax.dot_general(
+                q_stack, kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
             a = jax.nn.softmax(s, axis=1).astype(cd)
-            o_stack = jnp.dot(a, v, preferred_element_type=jnp.float32
+            o_stack = jnp.dot(a, vc, preferred_element_type=jnp.float32
                               ).astype(cd)
-            for j in range(head_group):
-                o_h = o_stack[j * n_q:(j + 1) * n_q] * out_masks[g0 + j]
+            out = None
+            for h in range(heads):
+                o_h = o_stack[h * q_len:(h + 1) * q_len] * out_masks[h]
                 out = o_h if out is None else out + o_h
+            outs.append(out)
+        out = outs[0] if n_clips == 1 else jnp.concatenate(outs, axis=0)
         return jnp.dot(out, wo, preferred_element_type=jnp.float32
                        ).astype(cd) + bo
 
@@ -333,7 +390,7 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         d_model = p.w_emm.shape[0]
         mem_buf = mem_ref[:].astype(cd)   # (n_clips*n_mem, D); slot rows @ k*n_mem
         mem_row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (n_clips * n_mem, d_model), 0)
+            jnp.int32, (n_clips * n_mem, 1), 0)
         blend_a = blend_a_ref[:]
         blend_b = blend_b_ref[:]
         freqs = freqs_ref[:]                        # (1, D/2) f32
@@ -342,14 +399,13 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         else:
             pe_x = jnp.concatenate([p.pe_x[:]] * n_clips, axis=0).astype(cd)
 
-        # attention masks, hoisted out of the step loop (loop-invariant)
+        # attention masks + dconv shift matrices, hoisted out of the step
+        # loop (loop-invariant)
         rows_x = n_clips * t_window
         rows_m = n_clips * n_mem
+        shifts_x = shift_mats(rows_x, t_window)
+        shifts_m = shift_mats(rows_m, n_mem)
         out_masks = head_masks(d_model)
-        bmask_self = stacked_block_mask(
-            rows_x, t_window, rows_x, t_window, head_group)
-        bmask_cross = stacked_block_mask(
-            rows_x, t_window, rows_m, n_mem, head_group)
 
         def step(i, x):
             si = num_steps - 1 - i
@@ -376,17 +432,34 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
                 + p.b_embx[:] + pe_x
 
             for l in range(n_layers):
-                z = ln(h, p.ln1_s[l], p.ln1_b[l])
-                h = h + mha(z, z, p.self_wqkv[l], p.self_bqkv[l],
-                            p.self_dconv[l], p.self_dbias[l],
-                            p.self_wo[l], p.self_bo[l], d_model,
-                            t_window, t_window, bmask_self, out_masks)
-                z = ln(h, p.ln2_s[l], p.ln2_b[l])
-                h = h + mha(z, mem, p.cross_wqkv[l], p.cross_bqkv[l],
-                            p.cross_dconv[l], p.cross_dbias[l],
-                            p.cross_wo[l], p.cross_bo[l], d_model,
-                            t_window, n_mem, bmask_cross, out_masks)
-                z = ln(h, p.ln3_s[l], p.ln3_b[l])
+                # self-attention: one merged QKV matmul + one merged dconv
+                z = ln(h)
+                qkv = jnp.dot(z, p.self_wqkv[l],
+                              preferred_element_type=jnp.float32
+                              ).astype(cd) + p.self_bqkv[l]
+                qkv = dconv(qkv, p.self_dconv[l], p.self_dbias[l], shifts_x)
+                q = qkv[:, :d_model]
+                k = qkv[:, d_model:2 * d_model]
+                v = qkv[:, 2 * d_model:]
+                h = h + attention(q, k, v, p.self_wo[l], p.self_bo[l],
+                                  d_model, t_window, t_window, out_masks)
+
+                # cross-attention: q from x, merged KV from memory
+                z = ln(h)
+                q = jnp.dot(z, p.cross_wq[l],
+                            preferred_element_type=jnp.float32
+                            ).astype(cd) + p.cross_bq[l]
+                q = dconv(q, p.cross_dq[l], p.cross_dqb[l], shifts_x)
+                kv = jnp.dot(mem, p.cross_wkv[l],
+                             preferred_element_type=jnp.float32
+                             ).astype(cd) + p.cross_bkv[l]
+                kv = dconv(kv, p.cross_dkv[l], p.cross_dkvb[l], shifts_m)
+                k = kv[:, :d_model]
+                v = kv[:, d_model:]
+                h = h + attention(q, k, v, p.cross_wo[l], p.cross_bo[l],
+                                  d_model, t_window, n_mem, out_masks)
+
+                z = ln(h)
                 f = jnp.dot(z, p.ff_w1[l], preferred_element_type=jnp.float32
                             ).astype(cd) + p.ff_b1[l]
                 f = jax.nn.relu(f)
@@ -395,9 +468,9 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
                                 preferred_element_type=jnp.float32
                                 ).astype(cd) + p.ff_b2[l]
 
-            z = ln(h, p.lno_s[:], p.lno_b[:])
+            z = ln(h)
             eps = jnp.dot(z, p.w_out[:], preferred_element_type=jnp.float32
-                          ) + p.b_out[:].astype(jnp.float32)  # (T, Dp) f32
+                          ) + p.b_out[:]                      # (T, Dp) f32
 
             c0 = coef_ref[si, 0]
             c1 = coef_ref[si, 1]
@@ -453,9 +526,15 @@ def fused_ddim_sample(
     d_model = packed.w_emm.shape[0]
     if n % n_clips != 0:
         raise ValueError(f"batch {n} not divisible by n_clips {n_clips}")
+    if n_clips > 1 and (t_window % 8 or n_mem % 8):
+        # per-clip attention/dconv slices are sublane slices: clip offsets
+        # must be 8-aligned
+        raise ValueError(
+            f"clip packing needs t_window ({t_window}) and n_mem ({n_mem}) "
+            "to be multiples of 8")
     if n_clips > 1:
-        # pack n_clips clips per grid program as one long block-diagonal
-        # sequence — projections/FF fill the MXU across clips
+        # pack n_clips clips per grid program as one long sequence —
+        # projections/FF fill the MXU across clips
         n_prog = n // n_clips
         x_T = x_T.reshape(n_prog, n_clips * t_window, dp_pad)
         mem_rows = mem_rows.reshape(n_prog, n_clips * n_mem, d_model)
