@@ -72,6 +72,17 @@ def test_fused_batched_clip_packing_matches(setup):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+def test_fused_max_clip_packing_matches(setup):
+    """N=8 -> n_clips=8 (the maximum pack): the per-clip attention loop and
+    clip-boundary shift matrices must reproduce independent sampling."""
+    gen_scan, gen_fused = setup
+    wav8 = jnp.concatenate([WAV, WAV[::-1], WAV * 0.5, WAV[::-1] * 2.0], axis=0)
+    noise = jax.random.normal(jax.random.key(19), (8, T, D_POSE))
+    a = gen_scan.generate_sample(wav8, D_POSE, T, jax.random.key(20), noise=noise)
+    b = gen_fused.generate_sample(wav8, D_POSE, T, jax.random.key(20), noise=noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_fused_ddpm_stochastic(setup):
     """Ancestral DDPM through the fused path: deterministic per rng key,
     different across keys, finite, and statistically in family with the
