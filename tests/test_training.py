@@ -5,6 +5,7 @@ the lr schedules match the reference's torch scheduler values."""
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
@@ -15,7 +16,9 @@ from gesture_diffusion_tpu.parallel import make_mesh
 from gesture_diffusion_tpu.training import (
     ArrayDataset,
     Trainer,
+    TrainState,
     build_lr_schedule,
+    make_train_step,
     noam_xf_schedule,
     wasserstein_distance_1d,
 )
@@ -135,6 +138,35 @@ class TestLrSchedules:
         assert float(sch(0)) == pytest.approx(256 ** -0.5 * 4000 ** -1.5, rel=1e-5)
         const = build_lr_schedule(None, 0.01)
         assert const(123) == 0.01
+
+
+def test_encoder_bf16_matches_fp32_loss(small_setup, tmp_path):
+    """Mixed precision (Train.encoder_dtype confines bf16 to the SE-ResNet
+    trunk; the default in configs/beat-ours.json) must track the fp32
+    training loss closely — measured 0.005% apart after 11 steps on TPU
+    (PERF.md)."""
+    _, sched = small_setup
+    ds = synthetic_dataset()
+    losses = {}
+    for tag, enc_dt in (("fp32", None), ("encbf16", "bfloat16")):
+        cfg = DenoiserConfig(d_pose=12, d_model=32, heads=4, n_layers=1,
+                             dropout=0.0, encoder_dtype=enc_dt)
+        model = GestureDenoiser(cfg)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 10, 12)),
+            jnp.zeros((1,), jnp.int32), jnp.asarray(ds.data["wav"][:1]),
+            train=False)
+        opt = optax.flatten(optax.adamw(1e-3))
+        state = TrainState(variables["params"], variables["batch_stats"],
+                           opt.init(variables["params"]),
+                           jnp.asarray(0, jnp.int32))
+        step = make_train_step(model, sched, opt, None)
+        batch = {"pose": jnp.asarray(ds.data["pose"][:8]),
+                 "wav": jnp.asarray(ds.data["wav"][:8])}
+        for _ in range(3):
+            state, metrics = step(state, batch, jax.random.key(7))
+        losses[tag] = float(metrics["loss"])
+    assert losses["encbf16"] == pytest.approx(losses["fp32"], rel=0.02), losses
 
 
 def test_wasserstein_1d_properties():
