@@ -305,3 +305,27 @@ def import_glide_unet_state_dict(
                     sd, f"output_blocks.{oi}.{li}.conv")
             ds //= 2
     return params
+
+
+def import_primer_stack(state_dict: Mapping, n_layers: int,
+                        with_src: bool) -> dict:
+    """Reference ``PrimerEZEncoder``/``PrimerEZDecoder`` state_dict
+    (``transformer.py:248-347``) -> ``models/primer.py`` params."""
+    sd = dict(state_dict)
+    params = {"pe": {"linear": _linear(sd, "pe.linear")},
+              "out_norm": _layernorm(sd, "out_layers.0"),
+              "out_proj": _linear(sd, "out_layers.1")}
+    for i in range(n_layers):
+        lp = f"layers.{i}"
+        layer = {
+            "norm_self_attn": _layernorm(sd, f"{lp}.norm_self_attn"),
+            "self_attn": _mha(sd, f"{lp}.self_attn"),
+            "norm_ff": _layernorm(sd, f"{lp}.norm_ff"),
+            "ff": {"layer1": _linear(sd, f"{lp}.feed_forward.layer1"),
+                   "layer2": _linear(sd, f"{lp}.feed_forward.layer2")},
+        }
+        if with_src:
+            layer["norm_src_attn"] = _layernorm(sd, f"{lp}.norm_src_attn")
+            layer["src_attn"] = _mha(sd, f"{lp}.src_attn")
+        params[f"layer{i}"] = layer
+    return params
