@@ -68,11 +68,19 @@ class BvhData:
 
 def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
     if is_text:
-        text = path_or_text
+        raw = path_or_text.encode()
     else:
-        with open(path_or_text) as f:
-            text = f.read()
-    tokens = _TOKEN.findall(text)
+        # bytes end to end: decoding a 60 s BEAT recording's ~16 MB to str
+        # (and re-encoding for the native parser) costs more than parsing it
+        with open(path_or_text, "rb") as f:
+            raw = f.read()
+    # split off the MOTION block BEFORE tokenizing: a 60 s recording
+    # carries ~1.6M float tokens, and regex-tokenizing them into Python
+    # strings (then float()-ing each) costs ~10 s/file; the header is tiny
+    # and the floats bulk-parse natively (native/fast_parse.cpp, ~0.25 s)
+    m_idx = raw.find(b"MOTION")
+    tokens = _TOKEN.findall(
+        (raw[:m_idx] if m_idx >= 0 else raw).decode())
     pos = 0
 
     def peek() -> str:
@@ -139,15 +147,18 @@ def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
     # MOTION section is optional (hierarchy-template files omit it)
     framerate = 0.0
     values = np.zeros((0, len(channel_names)))
-    if pos < len(tokens) and peek() == "MOTION":
-        take("MOTION")
-        take("Frames")
-        n_frames = int(take())
-        take("Frame")
-        take("Time")
-        framerate = float(take())
-        flat = np.array([float(t) for t in tokens[pos:pos + n_frames * len(channel_names)]])
-        if flat.size != n_frames * len(channel_names):
+    if m_idx >= 0:
+        from ..native import parse_floats
+
+        hm = re.match(rb"MOTION\s+Frames:?\s+(\d+)\s+Frame\s+Time:?\s+"
+                      rb"([0-9.eE+-]+)", raw[m_idx:m_idx + 256])
+        if hm is None:
+            raise ValueError("BVH parse error: malformed MOTION header")
+        n_frames = int(hm.group(1))
+        framerate = float(hm.group(2))
+        want = n_frames * len(channel_names)
+        flat = parse_floats(raw[m_idx + hm.end():], want)
+        if flat.size != want:
             raise ValueError(
                 f"BVH motion data truncated: expected {n_frames}x{len(channel_names)}, "
                 f"got {flat.size} values")
