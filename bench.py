@@ -77,15 +77,11 @@ def main():
             baseline_sps = json.load(f).get("reference_steps_per_sec")
 
     t1, t64, ts = measure_ours()
-    # min-of-30 headline: the tunnel-attached dev chip carries heavy
-    # EXTERNAL interference (same binary measured p50 44-54 ms across
-    # sessions with std up to 9 ms, PERF.md) and the workload is
-    # deterministic, so the fastest rep is the least-contaminated estimate
-    # of true cost; p50/mean/std all reported so round deltas are
-    # attributable.
-    best = float(t1.min())
-    steps_per_sec = DIFFUSION_STEPS / (best / 1e3)
+    # p50 headline: the tunnel-attached chip shows ~±10% run-to-run spread
+    # (PERF.md); the median of 30 reps is stable where a mean of 10 was one
+    # draw.  p50/min/mean all reported so round deltas are attributable.
     p50 = float(np.median(t1))
+    steps_per_sec = DIFFUSION_STEPS / (p50 / 1e3)
     p50_64 = float(np.median(t64))
     result = {
         "metric": "ddim_denoiser_steps_per_sec_per_chip",
@@ -94,9 +90,7 @@ def main():
         "vs_baseline": (round(steps_per_sec / baseline_sps, 2)
                         if baseline_sps else None),
         "detail": {
-            "methodology": (f"min of {len(t1)} timed reps (r1: mean of 10; "
-                            "min chosen for noise-immunity on the shared "
-                            "tunnel chip — see PERF.md)"),
+            "methodology": f"p50 of {len(t1)} timed reps (was mean of 10 in r1)",
             "p50_ms_per_1000step_loop": round(p50, 2),
             "min_ms": round(float(t1.min()), 2),
             "mean_ms": round(float(t1.mean()), 2),
