@@ -78,7 +78,11 @@ def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
     # carries ~1.6M float tokens, and regex-tokenizing them into Python
     # strings (then float()-ing each) costs ~10 s/file; the header is tiny
     # and the floats bulk-parse natively (native/fast_parse.cpp, ~0.25 s)
-    m_idx = raw.find(b"MOTION")
+    m_kw = re.search(rb"(?m)^[ \t]*MOTION[ \t]*\r?$", raw)
+    # standalone-line match first: a joint NAME containing "MOTION" must
+    # not truncate the hierarchy; substring fallback keeps accepting
+    # nonstandard one-line "MOTION Frames:..." headers
+    m_idx = m_kw.start() if m_kw else raw.find(b"MOTION")
     tokens = _TOKEN.findall(
         (raw[:m_idx] if m_idx >= 0 else raw).decode())
     pos = 0
@@ -150,7 +154,9 @@ def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
     if m_idx >= 0:
         from ..native import parse_floats
 
-        hm = re.match(rb"MOTION\s+Frames:?\s+(\d+)\s+Frame\s+Time:?\s+"
+        # ":?\s*" — the old tokenizer dropped colons, accepting "Frames:2"
+        # with no space after the colon
+        hm = re.match(rb"MOTION\s+Frames:?\s*(\d+)\s+Frame\s+Time:?\s*"
                       rb"([0-9.eE+-]+)", raw[m_idx:m_idx + 256])
         if hm is None:
             raise ValueError("BVH parse error: malformed MOTION header")

@@ -61,8 +61,9 @@ def timestep_embedding(timesteps: jax.Array, dim: int,
     return emb
 
 
-def _group_norm(name: str, dtype) -> nn.Module:
+def _group_norm(name: str) -> nn.Module:
     # reference normalization() == GroupNorm32(32, ch) with fp32 stats
+    # regardless of the model compute dtype (glide/nn.py:15)
     return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
                         name=name)
 
@@ -97,7 +98,7 @@ class GlideResBlock(nn.Module):
     def __call__(self, x: jax.Array, emb: jax.Array, train: bool) -> jax.Array:
         nd = x.ndim - 2
         k3 = (3,) * nd
-        h = _group_norm("in_norm", self.dtype)(x).astype(x.dtype)
+        h = _group_norm("in_norm")(x).astype(x.dtype)
         h = jax.nn.silu(h)
         if self.up:
             h = _resize_nearest(h, 2)
@@ -114,11 +115,11 @@ class GlideResBlock(nn.Module):
         e = e.reshape(e.shape[0], *(1,) * nd, e.shape[-1])
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(e, 2, axis=-1)
-            h = _group_norm("out_norm", self.dtype)(h).astype(h.dtype)
+            h = _group_norm("out_norm")(h).astype(h.dtype)
             h = h * (1 + scale) + shift
         else:
             h = h + e
-            h = _group_norm("out_norm", self.dtype)(h).astype(h.dtype)
+            h = _group_norm("out_norm")(h).astype(h.dtype)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = nn.Conv(self.out_channels, k3, padding=1, dtype=self.dtype,
@@ -153,7 +154,7 @@ class GlideAttentionBlock(nn.Module):
             heads = c // self.num_head_channels
         d_k = c // heads
         t = int(np.prod(spatial))
-        h = _group_norm("norm", self.dtype)(x).astype(x.dtype)
+        h = _group_norm("norm")(x).astype(x.dtype)
         h = h.reshape(n, t, c)
         # (n, t, heads, 3, d_k): channel j of the torch 1x1 conv maps to
         # head j // (3 d_k), slot (j % (3 d_k)) // d_k — same flatten order
@@ -289,7 +290,7 @@ class GlideUNet(nn.Module):
                     ds //= 2
                 idx += 1
 
-        h = _group_norm("out_norm", self.dtype)(h).astype(h.dtype)
+        h = _group_norm("out_norm")(h).astype(h.dtype)
         h = jax.nn.silu(h)
         return nn.Conv(self.out_channels, k3, padding=1, dtype=self.dtype,
                        kernel_init=zeros_init, bias_init=zeros_init,

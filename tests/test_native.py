@@ -48,3 +48,19 @@ def test_bvh_roundtrip_uses_native_parse(tmp_path):
     back = parse_bvh(p)
     np.testing.assert_allclose(back.values, src.values, atol=1e-5)
     assert back.framerate == pytest.approx(src.framerate)
+
+
+def test_bvh_motion_header_edge_cases():
+    """Colon-attached 'Frames:2' (the old tokenizer dropped colons) and a
+    joint NAME containing 'MOTION' must both still parse."""
+    from gesture_diffusion_tpu.data.bvh import parse_bvh
+
+    text = ("HIERARCHY\nROOT MOTIONBUILDER_Hips\n{\n\tOFFSET 0 0 0\n"
+            "\tCHANNELS 3 Zrotation Xrotation Yrotation\n"
+            "\tEnd Site\n\t{\n\t\tOFFSET 0 1 0\n\t}\n}\n"
+            "MOTION\nFrames:2\nFrame Time:0.05\n1 2 3\n4 5 6\n")
+    d = parse_bvh(text, is_text=True)
+    assert d.root_name == "MOTIONBUILDER_Hips"
+    assert d.values.shape == (2, 3)
+    np.testing.assert_allclose(d.values, [[1, 2, 3], [4, 5, 6]])
+    assert d.framerate == 0.05
