@@ -162,3 +162,63 @@ class TestMultiHostDataSharding:
                     [np.asarray(per_host[r][b][key]) for r in range(4)], axis=0)
                 np.testing.assert_array_equal(
                     stacked, np.asarray(global_batches[b][key]))
+
+
+def test_fused_sampler_under_shard_map():
+    """The fused single-kernel DDIM sampler composes with multi-chip data
+    parallelism: one kernel instance per shard via ``shard_map`` over the
+    mesh "data" axis produces the unsharded result (interpret mode on the
+    virtual CPU mesh; on hardware each chip holds its own VMEM-resident
+    weight copy)."""
+    import functools
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from gesture_diffusion_tpu.models.attention import (
+        sinusoidal_position_encoding)
+    from gesture_diffusion_tpu.ops import fused_sampler as fs
+
+    d_pose, t_win, n = 12, 8, 4
+    cfg = DenoiserConfig(d_pose=d_pose, d_model=256, heads=8, n_layers=1)
+    model = GestureDenoiser(cfg)
+    wav = jnp.asarray(np.random.default_rng(0).normal(
+        0, 0.3, (n, 8000)).astype(np.float32))
+    variables = model.init(jax.random.key(0), jnp.zeros((n, t_win, d_pose)),
+                           jnp.zeros((n,), jnp.int32), wav, train=False)
+    sched, tmap = make_diffusion("linear", 50, "ddim5", is_training=False)
+
+    packed = fs.pack_oneway_denoiser(variables["params"], d_pose, t_win,
+                                     weight_dtype=jnp.float32)
+    coefs = jnp.asarray(fs.ddim_coefficients(sched))
+    tmap = jnp.asarray(np.asarray(tmap)[:, None].astype(np.int32))
+    mem = model.apply(variables, wav, train=False,
+                      method=GestureDenoiser.encode_memory)
+    pe = jnp.asarray(sinusoidal_position_encoding(5000, 256))
+    emm = variables["params"]["decoder"]["emb_mem"]
+    rows = mem @ emm["kernel"] + emm["bias"] + pe[1:mem.shape[1] + 1]
+    mem_rows = jnp.concatenate(
+        [jnp.zeros((n, 1, 256)), rows], axis=1).astype(jnp.float32)
+
+    dp_pad = 128
+    x_T = jax.random.normal(jax.random.key(1), (n, t_win, dp_pad))
+    blend_a = jnp.zeros((n, t_win, dp_pad))
+    blend_b = jnp.ones((n, t_win, dp_pad))
+
+    run = functools.partial(
+        fs.fused_ddim_sample, n_layers=1, heads=8, num_steps=tmap.shape[0],
+        compute_dtype=jnp.float32, interpret=True, n_clips=1)
+
+    plain = run(packed, x_T, mem_rows, tmap, coefs, blend_a, blend_b)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    sharded_fn = jax.shard_map(
+        lambda xt, mr, ba, bb: run(packed, xt, mr, tmap, coefs, ba, bb),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        # the pallas_call's ShapeDtypeStruct carries no vma annotation;
+        # per-shard invocation is trivially correct under pure DP
+        check_vma=False)
+    sharded = sharded_fn(x_T, mem_rows, blend_a, blend_b)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               atol=1e-5)
