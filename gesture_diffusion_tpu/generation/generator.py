@@ -22,6 +22,7 @@ All layouts are (N, T, C).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -70,6 +71,19 @@ class Generator:
         self._fused_packed = None
         self._fused_prep = None
         self._fused_key = None
+
+        @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+        def _rng_prelude(rng, n, t, c):
+            """split + noise + kernel-seed in one dispatch; identical
+            streams to the unfused path (seed derived from the post-split
+            key without consuming it, so a scan fallback matches)."""
+            rng2, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, (n, t, c))
+            seed = jax.random.randint(
+                jax.random.fold_in(rng2, 0x5EED), (), 0, 2 ** 31 - 1)
+            return noise, seed, rng2
+
+        self._rng_prelude = _rng_prelude
 
     # -- fused single-kernel DDIM path ---------------------------------
     def _fused_enabled(self) -> bool:
@@ -248,23 +262,35 @@ class Generator:
             assert pose_seed_len is not None
             ramp = jnp.asarray(
                 make_trans_ramp(trans_factor, pose_seed_len, pose_window_len))
-        if noise is None:
-            rng, sub = jax.random.split(rng)
-            noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
         # fused path: weights VMEM-resident, up to 8 clips packed per grid
-        # program via block-diagonal attention.  Grid programs run serially,
+        # program via per-clip attention.  Grid programs run serially,
         # so for batch shapes that pack poorly (odd N > 2) the XLA scan —
         # which amortises weight streaming across the whole batch — wins.
         import math
 
         n_clips = math.gcd(n, 8)
-        if (sample_alg in ("ddim", "ddpm") and pose_window_len % 8 == 0
-                and (n <= 2 or n_clips >= 4) and self._fused_enabled()):
+        fused_eligible = (
+            sample_alg in ("ddim", "ddpm") and pose_window_len % 8 == 0
+            and (n <= 2 or n_clips >= 4) and self._fused_enabled())
+        seed = None
+        if noise is None:
+            if fused_eligible:
+                # ONE jitted dispatch for split+normal+fold_in+randint: on
+                # a tunnel-attached chip each host->device round trip costs
+                # ~1 ms, a visible fraction of the 37 ms fused loop
+                noise, seed, rng = self._rng_prelude(
+                    rng, n, pose_window_len, pose_dim)
+            else:
+                rng, sub = jax.random.split(rng)
+                noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
+        if fused_eligible:
             try:
-                # derive the kernel PRNG seed WITHOUT consuming rng, so a
-                # runtime fallback to the scan path sees the same stream
-                seed = jax.random.randint(
-                    jax.random.fold_in(rng, 0x5EED), (), 0, 2**31 - 1)
+                if seed is None:
+                    # explicit-noise callers: derive the kernel PRNG seed
+                    # WITHOUT consuming rng, so a runtime fallback to the
+                    # scan path sees the same stream
+                    seed = jax.random.randint(
+                        jax.random.fold_in(rng, 0x5EED), (), 0, 2**31 - 1)
                 out = self._fused_sample(wavs, pose_dim, pose_window_len,
                                          noise, inpaint_poses, inpaint_masks,
                                          ramp, n_clips=n_clips,
