@@ -72,18 +72,6 @@ class Generator:
         self._fused_prep = None
         self._fused_key = None
 
-        @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-        def _rng_prelude(rng, n, t, c):
-            """split + noise + kernel-seed in one dispatch; identical
-            streams to the unfused path (seed derived from the post-split
-            key without consuming it, so a scan fallback matches)."""
-            rng2, sub = jax.random.split(rng)
-            noise = jax.random.normal(sub, (n, t, c))
-            seed = jax.random.randint(
-                jax.random.fold_in(rng2, 0x5EED), (), 0, 2 ** 31 - 1)
-            return noise, seed, rng2
-
-        self._rng_prelude = _rng_prelude
 
     # -- fused single-kernel DDIM path ---------------------------------
     def _fused_enabled(self) -> bool:
@@ -101,7 +89,7 @@ class Generator:
 
     def _fused_sample(self, wavs, pose_dim, pose_window_len, noise,
                       inpaint_poses, inpaint_masks, ramp, n_clips=1,
-                      stochastic=False, seed=0):
+                      stochastic=False, seed=0, rng=None):
         import jax.numpy as jnp
 
         from ..ops import fused_sampler as fs
@@ -131,8 +119,7 @@ class Generator:
                 sinusoidal_position_encoding(5000, cfg.d_model))
             emm = self.variables["params"]["decoder"]["emb_mem"]
 
-            @jax.jit
-            def prep_memory(variables, wavs):
+            def memory_rows(variables, wavs):
                 speech = self.model.apply(
                     variables, wavs, train=False,
                     method=GestureDenoiser.encode_memory)
@@ -141,9 +128,32 @@ class Generator:
                 slot = jnp.zeros((rows.shape[0], 1, cfg.d_model), rows.dtype)
                 return jnp.concatenate([slot, rows], axis=1).astype(jnp.float32)
 
-            self._fused_prep = prep_memory
+            self._fused_prep = jax.jit(memory_rows)
 
-        mem_rows = self._fused_prep(self.variables, wavs)
+            @jax.jit
+            def prep_memory_rng(variables, wavs, rng):
+                """memory rows + split + noise + kernel-seed in ONE
+                dispatch (each host->device round trip on a tunnel-attached
+                chip costs ~1 ms, a visible slice of the 37 ms fused loop).
+                RNG streams are bit-identical to the unfused path: noise
+                from the split subkey, seed derived from the post-split key
+                without consuming it, so a scan fallback that re-derives
+                them on the host sees the same values."""
+                mem_rows = memory_rows(variables, wavs)
+                rng2, sub = jax.random.split(rng)
+                noise = jax.random.normal(
+                    sub, (wavs.shape[0], pose_window_len, pose_dim))
+                seed = jax.random.randint(
+                    jax.random.fold_in(rng2, 0x5EED), (), 0, 2 ** 31 - 1)
+                return mem_rows, noise, seed
+
+            self._fused_prep_rng = prep_memory_rng
+
+        if rng is not None:
+            mem_rows, noise, seed = self._fused_prep_rng(
+                self.variables, wavs, rng)
+        else:
+            mem_rows = self._fused_prep(self.variables, wavs)
         if mem_rows.shape[1] % 8 != 0:
             return None  # unaligned memory length -> scan fallback
 
@@ -272,20 +282,18 @@ class Generator:
         fused_eligible = (
             sample_alg in ("ddim", "ddpm") and pose_window_len % 8 == 0
             and (n <= 2 or n_clips >= 4) and self._fused_enabled())
-        seed = None
-        if noise is None:
-            if fused_eligible:
-                # ONE jitted dispatch for split+normal+fold_in+randint: on
-                # a tunnel-attached chip each host->device round trip costs
-                # ~1 ms, a visible fraction of the 37 ms fused loop
-                noise, seed, rng = self._rng_prelude(
-                    rng, n, pose_window_len, pose_dim)
-            else:
-                rng, sub = jax.random.split(rng)
-                noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
+        # noise is None + fused eligible: memory prep, split, noise and
+        # kernel-seed all run in ONE jitted dispatch (_fused_prep_rng) —
+        # the streams are bit-identical to the host derivation below, so a
+        # fallback that re-derives them on the host matches exactly
+        fused_rng = rng if (noise is None and fused_eligible) else None
+        if noise is None and fused_rng is None:
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
         if fused_eligible:
             try:
-                if seed is None:
+                seed = None
+                if fused_rng is None:
                     # explicit-noise callers: derive the kernel PRNG seed
                     # WITHOUT consuming rng, so a runtime fallback to the
                     # scan path sees the same stream
@@ -295,7 +303,7 @@ class Generator:
                                          noise, inpaint_poses, inpaint_masks,
                                          ramp, n_clips=n_clips,
                                          stochastic=(sample_alg == "ddpm"),
-                                         seed=seed)
+                                         seed=seed, rng=fused_rng)
                 if out is not None:
                     return out
             except Exception as e:  # pragma: no cover — compiler/env specific
@@ -304,6 +312,11 @@ class Generator:
                 print(f"[Warning] fused sampler failed ({type(e).__name__}: "
                       f"{str(e)[:200]}); falling back to the scan sampler")
                 self.use_fused = False
+        if noise is None:
+            # fused path derived noise on-device and then fell back —
+            # re-derive the identical values on the host
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
         sampler = self._get_sampler(sample_alg, with_inpaint)
         return sampler(self.variables, wavs, noise, rng,
                        inpaint_poses, inpaint_masks, ramp)
