@@ -210,3 +210,36 @@ def test_superres_and_inpaint_wrappers_parity(ref_unet_module):
     err = np.abs(np.moveaxis(np.asarray(out), -1, 1)
                  - want.detach().numpy()).max()
     assert err < 2e-4, f"inpaint max err {err}"
+
+
+def test_unet1d_parity(ref_unet_module):
+    """dims=1 (Conv1d) branch of the family, scale-shift off (additive
+    timestep conditioning path)."""
+    torch.manual_seed(3)
+    model = ref_unet_module.UNetModel(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(1,), channel_mult=(1, 2), num_heads=4,
+        dims=1, dropout=0.0)
+    model.eval()
+    x = torch.randn(2, 4, 16)           # (N, C, T) torch layout
+    t = torch.tensor([0, 999])
+    with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
+        want = model(x, t)
+
+    import jax.numpy as jnp
+
+    from gesture_diffusion_tpu.interop import import_glide_unet_state_dict
+    from gesture_diffusion_tpu.models.glide_unet import GlideUNet
+
+    params = import_glide_unet_state_dict(
+        model.state_dict(), num_res_blocks=2, attention_resolutions=(1,),
+        channel_mult=(1, 2))
+    net = GlideUNet(in_channels=4, model_channels=32, out_channels=4,
+                    num_res_blocks=2, attention_resolutions=(1,),
+                    channel_mult=(1, 2), num_heads=4, dims=1)
+    out = net.apply({"params": params},
+                    jnp.asarray(np.moveaxis(x.numpy(), 1, -1)),
+                    timesteps=jnp.asarray([0, 999]))
+    err = np.abs(np.moveaxis(np.asarray(out), -1, 1)
+                 - want.detach().numpy()).max()
+    assert err < 2e-4, f"max err {err}"
