@@ -58,14 +58,21 @@ def write_avi(
     codec: str = "mjpeg",
     quality: int = 85,
 ) -> str:
-    frames = list(frames)
-    if not frames:
+    # stream-encode: consume the iterator one frame at a time (a 60 s clip
+    # holds ~1 GB of raw RGB; the compressed chunks are what we keep), and
+    # never hold a caller-yielded buffer past its iteration — producers
+    # that reuse a render buffer stay correct
+    it = iter(frames)
+    encoded = []
+    h = w = None
+    for f in it:
+        f = np.ascontiguousarray(f, np.uint8)
+        if h is None:
+            h, w, _ = f.shape
+        encoded.append(_encode_frame(f, codec, quality))
+    if not encoded:
         raise ValueError("no frames")
-    h, w, _ = frames[0].shape
-    n = len(frames)
-
-    encoded = [_encode_frame(np.ascontiguousarray(f, np.uint8), codec, quality)
-               for f in frames]
+    n = len(encoded)
     vid_id = b"00dc" if codec == "mjpeg" else b"00db"
 
     pcm = None
@@ -82,22 +89,28 @@ def write_avi(
         block_align = 2 * channels
         pcm = np.ascontiguousarray(a)
 
-    # movi payload: interleave one video frame + the matching audio span
-    movi = b"movi"
-    index = b""
+    # movi payload: interleave one video frame + the matching audio span.
+    # Built as a chunk list + running offset (repeated bytes += is O(n^2))
+    parts = []
+    index = []
+    offset = 4                    # index offsets count from the movi fourcc
     samples_per_frame = (sample_rate // fps) if pcm is not None else 0
     for i, data in enumerate(encoded):
-        index += struct.pack("<4sIII", vid_id, _AVIIF_KEYFRAME,
-                             len(movi), len(data))
-        movi += _chunk(vid_id, data)
+        index.append(struct.pack("<4sIII", vid_id, _AVIIF_KEYFRAME,
+                                 offset, len(data)))
+        parts.append(_chunk(vid_id, data))
+        offset += len(parts[-1])
         if pcm is not None:
             s0 = i * samples_per_frame
             s1 = pcm.shape[0] if i == n - 1 else (i + 1) * samples_per_frame
             if s0 < pcm.shape[0]:
                 a_data = pcm[s0:s1].tobytes()
-                index += struct.pack("<4sIII", b"01wb", _AVIIF_KEYFRAME,
-                                     len(movi), len(a_data))
-                movi += _chunk(b"01wb", a_data)
+                index.append(struct.pack("<4sIII", b"01wb", _AVIIF_KEYFRAME,
+                                         offset, len(a_data)))
+                parts.append(_chunk(b"01wb", a_data))
+                offset += len(parts[-1])
+    movi_payload = b"".join(parts)
+    index = b"".join(index)
 
     max_chunk = max(len(e) for e in encoded) + 8
 
@@ -131,7 +144,7 @@ def write_avi(
         hdrl += _list(b"strl", _chunk(b"strh", astrh) + _chunk(b"strf", astrf))
 
     body = (_list(b"hdrl", hdrl)
-            + _list(b"movi", movi[4:])
+            + _list(b"movi", movi_payload)
             + _chunk(b"idx1", index))
     with open(path, "wb") as f:
         f.write(_chunk(b"RIFF", b"AVI " + body))

@@ -97,7 +97,11 @@ def make_skeleton_video(
                 draw(i)
                 fig.canvas.draw()
                 buf = np.asarray(fig.canvas.buffer_rgba())
-                yield buf[:, :, :3]
+                # copy: buffer_rgba() is a live view of the Agg renderer's
+                # single buffer, overwritten by the next canvas.draw() — a
+                # consumer that materialises the iterator would otherwise
+                # see N aliases of the LAST frame
+                yield buf[:, :, :3].copy()
 
         write_avi(output_path, frames(), fps=fps,
                   audio=None if wav is None else np.asarray(wav),

@@ -25,6 +25,19 @@ import numpy as np
 from scipy import linalg
 
 
+def _sqrtm(a: np.ndarray) -> np.ndarray:
+    """scipy.linalg.sqrtm across API generations: pre-1.16 needs
+    disp=False to suppress stdout noise on the ill-conditioned products
+    this module retries with an eps offset (and then returns an
+    (X, errest) tuple); 1.16+ deprecated the parameter (passing it warns)."""
+    import scipy
+
+    if tuple(int(x) for x in scipy.__version__.split(".")[:2]) < (1, 16):
+        out = linalg.sqrtm(a, disp=False)
+        return out[0] if isinstance(out, tuple) else out
+    return linalg.sqrtm(a)
+
+
 class PoseEncoderConv(nn.Module):
     latent_dim: int = 32
 
@@ -167,12 +180,10 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> f
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    covmean = linalg.sqrtm(sigma1 @ sigma2)
-    if isinstance(covmean, tuple):      # scipy < 1.16 may return (X, errest)
-        covmean = covmean[0]
+    covmean = _sqrtm(sigma1 @ sigma2)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+        covmean = _sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
             raise ValueError(

@@ -84,6 +84,14 @@ def iter_batches(
     for b in range(n_batches):
         sel = idx[b * batch_size:(b + 1) * batch_size]
         if multihost:
+            if len(sel) % process_count:
+                # ragged final batch (drop_last=False): truncate to the
+                # largest per-host-even size rather than dying at epoch end
+                # (DistributedSampler pads instead; truncation never
+                # duplicates samples)
+                sel = sel[: len(sel) - len(sel) % process_count]
+                if len(sel) == 0:
+                    continue
             local = host_slice(sel, process_index, process_count)
             batch = {k: v[local] for k, v in dataset.data.items()}
             if mesh is not None:

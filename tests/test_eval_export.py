@@ -232,3 +232,28 @@ class TestAviMuxer:
         info = read_avi_structure(out)
         assert info["video_frames"] == 4 and info["streams"] == 2
         assert info["audio_bytes"] == 16000 * 2
+
+
+def test_skeleton_video_frames_are_distinct(tmp_path):
+    """Regression: the Agg canvas buffer is reused across draws — the frame
+    generator must copy it, or every frame in the file aliases the LAST
+    rendered pose (found in review; chunk-count checks could not see it)."""
+    import struct
+
+    from gesture_diffusion_tpu.data import Skeleton, parse_bvh
+    from gesture_diffusion_tpu.export.vis_skeleton import (
+        make_skeleton_video, pose_to_positions)
+    from tests.test_data import TOY_BVH
+
+    sk = Skeleton.from_bvh(parse_bvh(TOY_BVH, is_text=True))
+    pose = np.random.default_rng(2).uniform(-40, 40, (3, 3 * 3))
+    pos = pose_to_positions(sk, pose, ["Spine", "Head", "LeftArm"])
+    out = make_skeleton_video(pos, sk, str(tmp_path / "m.avi"), fps=4, lim=5)
+    blob = open(out, "rb").read()
+    payloads = set()
+    at = blob.find(b"00dc", 12)
+    while at != -1:
+        size = struct.unpack("<I", blob[at + 4:at + 8])[0]
+        payloads.add(blob[at + 8:at + 8 + size])
+        at = blob.find(b"00dc", at + 8 + size)
+    assert len(payloads) >= 2, "all video frames identical (buffer aliasing)"

@@ -222,3 +222,19 @@ def test_fused_sampler_under_shard_map():
     sharded = sharded_fn(x_T, mem_rows, blend_a, blend_b)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
                                atol=1e-5)
+
+
+def test_multihost_ragged_final_batch_truncates():
+    """drop_last=False with a final batch not divisible by process_count:
+    the ragged tail is truncated per-host-even instead of raising at epoch
+    end (review finding)."""
+    from gesture_diffusion_tpu.training.data import ArrayDataset, iter_batches
+
+    n = 22                                 # 16 + ragged 6 (not % 4)
+    ds = ArrayDataset({"pose": np.arange(n * 2.0).reshape(n, 1, 2),
+                       "wav": np.zeros((n, 8))})
+    got = [b["pose"].shape[0] for b in iter_batches(
+        ds, 16, shuffle=False, drop_last=False,
+        process_index=0, process_count=4)]
+    # global batches 16 then 6 -> truncated to 4; each host sees 1/4
+    assert got == [4, 1]
