@@ -78,11 +78,13 @@ def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
     # carries ~1.6M float tokens, and regex-tokenizing them into Python
     # strings (then float()-ing each) costs ~10 s/file; the header is tiny
     # and the floats bulk-parse natively (native/fast_parse.cpp, ~0.25 s)
-    m_kw = re.search(rb"(?m)^[ \t]*MOTION[ \t]*\r?$", raw)
+    m_kw = re.search(rb"(?m)^[ \t]*(MOTION)[ \t]*\r?$", raw)
     # standalone-line match first: a joint NAME containing "MOTION" must
     # not truncate the hierarchy; substring fallback keeps accepting
-    # nonstandard one-line "MOTION Frames:..." headers
-    m_idx = m_kw.start() if m_kw else raw.find(b"MOTION")
+    # nonstandard one-line "MOTION Frames:..." headers.  start(1) skips
+    # the line's indentation so the header regex below anchors on the
+    # keyword itself
+    m_idx = m_kw.start(1) if m_kw else raw.find(b"MOTION")
     tokens = _TOKEN.findall(
         (raw[:m_idx] if m_idx >= 0 else raw).decode())
     pos = 0

@@ -708,7 +708,9 @@ class ConstantsRemover:
     def fit(self, X, y=None):
         t0 = X[0]
         cols = _columns(t0)
-        stds = {n: (np.std(v, ddof=1) if len(v) > 1 else 0.0)
+        # pandas .std() of a single row is NaN and "NaN < eps" is False, so
+        # the reference KEEPS every column of a 1-frame track — mirror that
+        stds = {n: (np.std(v, ddof=1) if len(v) > 1 else np.nan)
                 for n, v in cols.items()}
         self.const_dims_ = [n for n, s in stds.items() if s < self.eps]
         self.const_values_ = {n: float(cols[n][0]) for n in self.const_dims_}

@@ -22,7 +22,6 @@ All layouts are (N, T, C).
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Optional
 
@@ -71,7 +70,6 @@ class Generator:
         self._fused_packed = None
         self._fused_prep = None
         self._fused_key = None
-
 
     # -- fused single-kernel DDIM path ---------------------------------
     def _fused_enabled(self) -> bool:
@@ -157,8 +155,10 @@ class Generator:
         if mem_rows.shape[1] % 8 != 0:
             return None  # unaligned memory length -> scan fallback
 
+        # the cached run() closure captures pose_window_len/dp_pad — key on
+        # them too, or a window/pose-dim change reuses a stale closure
         key = ("exec", inpaint_poses is not None, ramp is not None, n_clips,
-               stochastic)
+               stochastic, pose_dim, pose_window_len)
         if key not in self._sample_jit:
             dp_pad = ((pose_dim + 127) // 128) * 128
             # measured on v5e: f32 compute wins at batch<=2 (VPU-bound, no

@@ -84,12 +84,17 @@ def iter_batches(
     for b in range(n_batches):
         sel = idx[b * batch_size:(b + 1) * batch_size]
         if multihost:
-            if len(sel) % process_count:
+            divisor = process_count
+            if mesh is not None:
+                # the global batch must also divide over the mesh's data
+                # axis for the sharded-array assembly below
+                divisor = int(np.lcm(divisor, mesh.shape["data"]))
+            if len(sel) % divisor:
                 # ragged final batch (drop_last=False): truncate to the
-                # largest per-host-even size rather than dying at epoch end
-                # (DistributedSampler pads instead; truncation never
+                # largest evenly-shardable size rather than dying at epoch
+                # end (DistributedSampler pads instead; truncation never
                 # duplicates samples)
-                sel = sel[: len(sel) - len(sel) % process_count]
+                sel = sel[: len(sel) - len(sel) % divisor]
                 if len(sel) == 0:
                     continue
             local = host_slice(sel, process_index, process_count)

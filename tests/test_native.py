@@ -64,3 +64,16 @@ def test_bvh_motion_header_edge_cases():
     assert d.values.shape == (2, 3)
     np.testing.assert_allclose(d.values, [[1, 2, 3], [4, 5, 6]])
     assert d.framerate == 0.05
+
+
+def test_bvh_indented_motion_line():
+    """An indented MOTION keyword line must still anchor the header regex
+    (review finding: the standalone-line match included the indentation)."""
+    from gesture_diffusion_tpu.data.bvh import parse_bvh
+
+    text = ("HIERARCHY\nROOT Hips\n{\n\tOFFSET 0 0 0\n"
+            "\tCHANNELS 3 Zrotation Xrotation Yrotation\n"
+            "\tEnd Site\n\t{\n\t\tOFFSET 0 1 0\n\t}\n}\n"
+            "  MOTION\nFrames: 2\nFrame Time: 0.05\n1 2 3\n4 5 6\n")
+    d = parse_bvh(text, is_text=True)
+    assert d.values.shape == (2, 3)
