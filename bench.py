@@ -52,6 +52,25 @@ def measure_ours(repetitions: int = 30, warmup: int = 5):
     _, _, _, t1 = gen.eval_infer_time(
         wav, D_POSE, WINDOW, sample_alg="ddim",
         repetitions=repetitions, warmup=warmup, return_raw=True)
+    # self-certification: which path produced the headline, and does the
+    # Mosaic-compiled kernel agree with the XLA scan ON THIS CHIP (the
+    # interpret-mode CPU tests can't see a Mosaic compile regression, and
+    # Generator's fallback is silent — surface both here)
+    headline_path = gen.last_sample_path
+    fused_max_rel_dev = None
+    if headline_path == "fused":
+        sched50, tmap50 = make_diffusion("linear", DIFFUSION_STEPS, "ddim50",
+                                         is_training=False)
+        x_T = jax.random.normal(jax.random.key(3), (BATCH, WINDOW, D_POSE))
+        out_f = np.asarray(Generator(model, variables, sched50, tmap50)
+                           .generate_sample(wav, D_POSE, WINDOW,
+                                            jax.random.key(4), noise=x_T))
+        out_s = np.asarray(Generator(model, variables, sched50, tmap50,
+                                     use_fused=False)
+                           .generate_sample(wav, D_POSE, WINDOW,
+                                            jax.random.key(4), noise=x_T))
+        fused_max_rel_dev = float(np.abs(out_f - out_s).max()
+                                  / max(np.abs(out_s).max(), 1e-6))
 
     # batched offline-inference throughput (64 clips, clip-packed kernel)
     wav64 = jnp.asarray(np.random.default_rng(1).normal(
@@ -81,7 +100,49 @@ def measure_ours(repetitions: int = 30, warmup: int = 5):
     outs = [gen50.generate_sample(wav, D_POSE, WINDOW, k) for k in keys]
     jax.block_until_ready(outs)
     t_pipe = (time.perf_counter() - t0) * 1e3 / len(keys)
-    return t1, t64, ts, t_pipe
+    return t1, t64, ts, t_pipe, headline_path, fused_max_rel_dev
+
+
+def measure_train_step(n_steps: int = 20, warmup: int = 3):
+    """Mean ms per training step @ batch 64, flagship config with the
+    bf16-encoder default (PERF.md's tracked number, now driver-visible).
+    Synthetic device-resident batch; steps chain on the donated state, one
+    block at the end (never block per step on a tunnel-attached chip)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gesture_diffusion_tpu.diffusion import linear_betas, make_schedule
+    from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
+    from gesture_diffusion_tpu.training import TrainState, make_train_step
+
+    cfg = DenoiserConfig(d_pose=D_POSE, encoder_dtype="bfloat16")
+    model = GestureDenoiser(cfg)
+    rng = np.random.default_rng(2)
+    batch = {
+        "pose": jnp.asarray(rng.normal(size=(64, WINDOW, D_POSE))
+                            .astype(np.float32)),
+        "wav": jnp.asarray(rng.normal(0, 0.3, (64, WAV_LEN))
+                           .astype(np.float32)),
+    }
+    variables = model.init(jax.random.key(0), batch["pose"],
+                           jnp.zeros((64,), jnp.int32), batch["wav"],
+                           train=False)
+    optimizer = optax.flatten(optax.adamw(1e-4))
+    state = TrainState(variables["params"], variables.get("batch_stats", {}),
+                       optimizer.init(variables["params"]),
+                       jnp.asarray(0, jnp.int32))
+    sched = make_schedule(linear_betas(DIFFUSION_STEPS))
+    step = make_train_step(model, sched, optimizer, None)
+    key = jax.random.key(1)
+    for _ in range(warmup):             # donated state: rebind EVERY call
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready((state, metrics))
+    return (time.perf_counter() - t0) * 1e3 / n_steps
 
 
 def main():
@@ -90,7 +151,8 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline_sps = json.load(f).get("reference_steps_per_sec")
 
-    t1, t64, ts, t_pipe = measure_ours()
+    t1, t64, ts, t_pipe, path, fused_dev = measure_ours()
+    train_ms = measure_train_step()
     # p50 headline: the tunnel-attached chip shows ~±10% run-to-run spread
     # (PERF.md); the median of 30 reps is stable where a mean of 10 was one
     # draw.  p50/min/mean all reported so round deltas are attributable.
@@ -116,6 +178,14 @@ def main():
             "batch64_min_ms": round(float(t64.min()), 2),
             "streaming_ddim50_ms_per_2s_window": round(float(np.median(ts)), 2),
             "streaming_ddim50_pipelined_ms_per_window": round(t_pipe, 2),
+            # self-certification: which sampler produced the headline and
+            # how far the Mosaic-compiled kernel deviates from the XLA scan
+            # on this chip (ddim50, same noise).  A silent fused->scan
+            # fallback shows up here as path="scan".
+            "path": path,
+            "fused_max_rel_dev": (round(fused_dev, 6)
+                                  if fused_dev is not None else None),
+            "train_step_ms_b64": round(train_ms, 2),
             "baseline_reference_steps_per_sec_torch_cpu": baseline_sps,
         },
     }

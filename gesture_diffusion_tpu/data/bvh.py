@@ -83,8 +83,18 @@ def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
     # not truncate the hierarchy; substring fallback keeps accepting
     # nonstandard one-line "MOTION Frames:..." headers.  start(1) skips
     # the line's indentation so the header regex below anchors on the
-    # keyword itself
-    m_idx = m_kw.start(1) if m_kw else raw.find(b"MOTION")
+    # keyword itself.  The fallback only accepts candidates followed by a
+    # Frames: header — a bare find() could hit a joint name containing
+    # "MOTION" (hierarchy-only template files) and truncate the hierarchy
+    if m_kw:
+        m_idx = m_kw.start(1)
+    else:
+        m_idx, search = -1, 0
+        while (cand := raw.find(b"MOTION", search)) >= 0:
+            if re.match(rb"MOTION\s+Frames:?", raw[cand:cand + 64]):
+                m_idx = cand
+                break
+            search = cand + 1
     tokens = _TOKEN.findall(
         (raw[:m_idx] if m_idx >= 0 else raw).decode())
     pos = 0

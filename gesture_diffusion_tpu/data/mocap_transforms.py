@@ -508,8 +508,9 @@ class RootTransformer:
                 dz = np.diff(z, prepend=z[0])
                 out.pop(xp)
                 out.pop(zp)
-            dx[0] = dx[1]                       # ref :753 — first delta copied
-            dz[0] = dz[1]
+            if len(dx) > 1:                     # ref :753 — first delta copied
+                dx[0] = dx[1]                   # (guarded: the reference dies
+                dz[0] = dz[1]                   # with IndexError on 1 frame)
             out[f"{root}_dXposition"] = dx
             out[f"{root}_dZposition"] = dz
             return _rebuild(track, out)

@@ -66,7 +66,11 @@ class Generator:
         self.use_fused = use_fused
         self.fused_dtype = fused_dtype
         self._sample_jit = {}   # keyed by (alg, inpaint?)
-        self._bpd_jit = None
+        self._bpd_jit = {}      # keyed by pose_seed_len (closure captures it)
+        #: which path produced the last ``generate_sample`` output —
+        #: "fused" (single Pallas kernel) or "scan" (XLA lax.scan sampler).
+        #: bench.py reports this so a silent fused->scan fallback is visible.
+        self.last_sample_path = None
         self._fused_packed = None
         self._fused_prep = None
         self._fused_key = None
@@ -305,6 +309,7 @@ class Generator:
                                          stochastic=(sample_alg == "ddpm"),
                                          seed=seed, rng=fused_rng)
                 if out is not None:
+                    self.last_sample_path = "fused"
                     return out
             except Exception as e:  # pragma: no cover — compiler/env specific
                 # a Mosaic/compile failure must never take down sampling;
@@ -318,6 +323,7 @@ class Generator:
             rng, sub = jax.random.split(rng)
             noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
         sampler = self._get_sampler(sample_alg, with_inpaint)
+        self.last_sample_path = "scan"
         return sampler(self.variables, wavs, noise, rng,
                        inpaint_poses, inpaint_masks, ramp)
 
@@ -405,7 +411,11 @@ class Generator:
         rng: jax.Array,
         pose_seed_len: Optional[int] = None,
     ) -> dict:
-        if self._bpd_jit is None:
+        # keyed on pose_seed_len: the closure below captures it, so an
+        # unkeyed cache would silently reuse the first call's value for
+        # later calls with a different seed length (same bug class as the
+        # fused cache, fixed by keying — see _fused_key)
+        if pose_seed_len not in self._bpd_jit:
             def fn(variables, poses, wavs, rng):
                 memory = self.model.apply(
                     variables, wavs, train=False,
@@ -420,8 +430,8 @@ class Generator:
                 return bpd_loop(self.sched, model_fn, poses, rng,
                                 timestep_map=self.timestep_map)
 
-            self._bpd_jit = jax.jit(fn)
-        return self._bpd_jit(self.variables, poses, wavs, rng)
+            self._bpd_jit[pose_seed_len] = jax.jit(fn)
+        return self._bpd_jit[pose_seed_len](self.variables, poses, wavs, rng)
 
     # ------------------------------------------------------------------
     def eval_infer_time(

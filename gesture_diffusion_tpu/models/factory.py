@@ -12,11 +12,7 @@ from typing import Any, NamedTuple
 import jax.numpy as jnp
 import optax
 
-from ..diffusion import (
-    Schedule,
-    create_named_schedule_sampler,
-    make_diffusion,
-)
+from ..diffusion import Schedule, make_diffusion
 from ..training.lr_schedule import build_lr_schedule
 from .denoiser import DenoiserConfig, GestureDenoiser
 
@@ -71,7 +67,13 @@ class ModelBundle(NamedTuple):
     eval_timestep_map: jnp.ndarray
     optimizer: Any               # optax.GradientTransformation
     lr_schedule: Any
-    schedule_sampler: Any
+    # NOTE no schedule_sampler field: the reference builds a UniformSampler
+    # whose importance weights it then discards (trainer.py:152-154 —
+    # ``diffusion_steps, _ = self.schedule_sampler.sample(...)``), so the
+    # operational behaviour is a plain uniform draw.  make_train_step draws
+    # uniform t in-graph (training/trainer.py:86), which is that same
+    # behaviour without the dead field; diffusion/resample.py still ships
+    # both samplers for users who want them.
 
 
 def build_all(
@@ -105,6 +107,5 @@ def build_all(
     optimizer = optax.flatten(
         optax.adamw(learning_rate=lr_schedule, weight_decay=wd))
 
-    sampler = create_named_schedule_sampler("uniform", sched.num_timesteps)
     return ModelBundle(model, sched, tmap, eval_sched, eval_tmap,
-                       optimizer, lr_schedule, sampler)
+                       optimizer, lr_schedule)

@@ -71,11 +71,25 @@ def parse_floats(text: "str | bytes", expected: "int | None" = None
         return np.zeros(0)
     lib = _load()
     if lib is None:
-        if isinstance(text, bytes):
-            text = text.decode()
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", DeprecationWarning)
-            return np.fromstring(text, sep=" ")[:expected]
+        # pure-numpy fallback (no toolchain): truncate the token list to
+        # ``expected`` BEFORE converting — the whole point of the
+        # MOTION-split optimization — and stay off the long-deprecated
+        # np.fromstring(sep=...) API
+        toks = text.split()[:expected]
+        try:
+            return np.asarray(toks, dtype=np.float64)
+        except ValueError:
+            # stop at the first non-numeric token (BVH motion grammar)
+            out = np.empty(len(toks), np.float64)
+            n = 0
+            for tok in toks:
+                try:
+                    out[n] = float(tok if isinstance(tok, str)
+                                   else tok.decode())
+                except ValueError:
+                    break
+                n += 1
+            return out[:n]
     out = np.empty(expected, np.float64)
     data = text.encode() if isinstance(text, str) else text
     n = lib.gdt_parse_floats(

@@ -53,6 +53,9 @@ def qmul(q: jax.Array, r: jax.Array) -> jax.Array:
 
 def qinv(q: jax.Array) -> jax.Array:
     """Conjugate (== inverse for unit quaternions).  Ref ``__neg__`` (:138)."""
+    # canonicalize first: a float64 numpy input would otherwise request a
+    # float64 constant under non-x64 jax and emit a truncation UserWarning
+    q = jnp.asarray(q)
     return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
 
 

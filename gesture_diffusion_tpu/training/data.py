@@ -62,9 +62,11 @@ def iter_batches(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
 ) -> Iterator[Dict[str, jax.Array]]:
-    """Yield global batches of ``batch_size``; under multi-host SPMD each
-    host materialises only its ``host_slice`` and the global sharded array
-    is assembled with ``jax.make_array_from_process_local_data``.
+    """Yield global batches of ``batch_size``; under multi-host SPMD with a
+    mesh, each host materialises exactly the rows its addressable devices
+    own (read off the sharding's indices map) and the global array is
+    assembled with ``jax.make_array_from_single_device_arrays``; without a
+    mesh each host takes its contiguous ``host_slice``.
 
     ``process_index``/``process_count`` default to the runtime's
     (``jax.process_index()``); pass explicit values to fake a multi-host
@@ -97,15 +99,25 @@ def iter_batches(
                 sel = sel[: len(sel) - len(sel) % divisor]
                 if len(sel) == 0:
                     continue
-            local = host_slice(sel, process_index, process_count)
-            batch = {k: v[local] for k, v in dataset.data.items()}
             if mesh is not None:
+                # derive each addressable device's global rows from the
+                # sharding's own indices map — correct for ANY mesh device
+                # order, unlike a contiguous process_index-ordered
+                # host_slice (which silently pairs hosts with the wrong
+                # rows on a custom device_order mesh)
                 from ..parallel import data_sharding
                 s = data_sharding(mesh)
-                batch = {
-                    k: jax.make_array_from_process_local_data(
-                        s, v, global_shape=(len(sel),) + v.shape[1:])
-                    for k, v in batch.items()}
+                batch = {}
+                for k, v in dataset.data.items():
+                    gshape = (len(sel),) + v.shape[1:]
+                    imap = s.addressable_devices_indices_map(gshape)
+                    shards = [jax.device_put(v[sel[sl[0]]], d)
+                              for d, sl in imap.items()]
+                    batch[k] = jax.make_array_from_single_device_arrays(
+                        gshape, s, shards)
+            else:
+                local = host_slice(sel, process_index, process_count)
+                batch = {k: v[local] for k, v in dataset.data.items()}
         else:
             batch = {k: v[sel] for k, v in dataset.data.items()}
             if mesh is not None:

@@ -268,7 +268,11 @@ class Trainer:
         n_batches = 0
         for batch in iter_batches(self.val_dataset, self.batch_size,
                                   shuffle=False, mesh=self.mesh):
-            losses = self._val_step(self.state, batch, rng)
+            # fresh timestep/noise draws per batch (the reference draws per
+            # batch too, resample.py:58); folding only per epoch would give
+            # the epoch estimator one batch's worth of timestep coverage
+            losses = self._val_step(self.state, batch,
+                                    jax.random.fold_in(rng, n_batches))
             for k, v in losses.items():
                 sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))
             n_batches += 1

@@ -198,6 +198,8 @@ def evaluate(config):
             poses, wavs, r1,
             pose_seed_len=(gen_cfg.get("pose_seed_len") if gen_cfg else None))
         for name, value in diffusion_terms.items():
+            # per-batch 1/num_batches weighting slightly over-weights a
+            # ragged final batch — bug-compat with /root/reference/main.py:180
             v = float(np.asarray(value).mean()) / num_batches
             metrics[name] = metrics.get(name, 0.0) + v
 

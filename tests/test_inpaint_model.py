@@ -48,3 +48,18 @@ def test_inpaint_trainer_and_generator(tmp_path):
     bpd = gen.eval_bpd(jnp.asarray(data["pose"][:2]), wavs,
                        jax.random.key(1), pose_seed_len=3)
     assert np.isfinite(np.asarray(bpd["total_bpd"])).all()
+
+    # regression: the bpd jit cache is keyed on pose_seed_len — a second
+    # call with a different seed length must NOT reuse the first call's
+    # closure (which captured seed_len=3).  The vb VALUES can't separate
+    # the two here: the inpaint conditioning enters through the reference's
+    # zero-init MLP (model.py:149-166), so near init the mask has ~no
+    # numerical effect — assert the cache structure directly instead.
+    gen.eval_bpd(jnp.asarray(data["pose"][:2]), wavs,
+                 jax.random.key(1), pose_seed_len=7)
+    assert set(gen._bpd_jit) == {3, 7}, (
+        "eval_bpd must compile one closure per pose_seed_len")
+    # and a repeat of the first call still matches bit-exactly
+    bpd3b = gen.eval_bpd(jnp.asarray(data["pose"][:2]), wavs,
+                         jax.random.key(1), pose_seed_len=3)
+    np.testing.assert_array_equal(np.asarray(bpd["vb"]), np.asarray(bpd3b["vb"]))

@@ -101,6 +101,29 @@ class TestTrainer:
         for key in ("train/speed", "train/speed_l1", "train/speed_constraint"):
             assert np.isfinite(rec[key])
 
+    def test_val_rng_fresh_per_batch(self, small_setup, tmp_path):
+        """Regression: every val batch must get its own timestep/noise RNG
+        (batch index folded in) — the reference draws per batch too
+        (resample.py:58).  An epoch-constant rng would shrink the val
+        estimator's timestep coverage to one batch's worth."""
+        model, sched = small_setup
+        trainer = _make_trainer(model, sched, tmp_path / "valrng")
+        seen = []
+        orig = trainer._val_step
+
+        def spy(state, batch, rng):
+            seen.append(np.asarray(jax.random.key_data(rng)).tolist())
+            return orig(state, batch, rng)
+
+        trainer._val_step = spy
+        trainer._run_val_epoch()
+        assert len(seen) == 1  # 16-sample val set / batch 16
+        trainer.batch_size = 8
+        seen.clear()
+        trainer._run_val_epoch()
+        assert len(seen) == 2
+        assert seen[0] != seen[1]
+
     def test_grad_clipping_paths(self, small_setup, tmp_path):
         model, sched = small_setup
         trainer = _make_trainer(
