@@ -404,6 +404,40 @@ class Generator:
         return np.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------
+    def stream(
+        self,
+        wav_sr: int,
+        pose_dim: int,
+        pose_fps: int,
+        pose_window_len: int,
+        pose_seed_len: int,
+        rng: jax.Array,
+        smooth_trans: bool = True,
+        trans_factor: Optional[float] = None,
+        init_poses: Optional[jax.Array] = None,
+        sample_alg: str = "ddim",
+        max_in_flight: int = 4,
+    ) -> "GestureStream":
+        """Streaming counterpart of :meth:`generate_sequence`: push audio
+        chunks of ANY size, receive pose chunks as they complete.
+
+        Latency design for a tunnel/real-time service: windows are
+        dispatched as soon as enough audio is buffered, the seed-pose tail
+        is carried across windows ON DEVICE (no host round trip between
+        windows), and the host only blocks when more than ``max_in_flight``
+        windows are outstanding — the issue-N-block-once pattern that
+        measures ~3 ms per 2 s window vs ~30 ms when blocking per window
+        (PERF.md).  Output is bit-identical to ``generate_sequence`` on the
+        same audio and rng (asserted in tests/test_streaming.py).
+        """
+        return GestureStream(self, wav_sr, pose_dim, pose_fps,
+                             pose_window_len, pose_seed_len, rng,
+                             smooth_trans=smooth_trans,
+                             trans_factor=trans_factor,
+                             init_poses=init_poses, sample_alg=sample_alg,
+                             max_in_flight=max_in_flight)
+
+    # ------------------------------------------------------------------
     def eval_bpd(
         self,
         poses: jax.Array,                     # (N, T, C)
@@ -464,3 +498,187 @@ class Generator:
         stats = (float(timings.mean()), float(timings.std()),
                  float(steps / (timings.mean() / 1e3)))
         return stats + (timings,) if return_raw else stats
+
+
+class GestureStream:
+    """Incremental window-by-window gesture generation over pushed audio.
+
+    Reproduces ``Generator.generate_sequence``'s window/seed/crossfade
+    semantics (reference ``models/generator.py:80-195``) as a push API:
+
+        stream = generator.stream(sr, d_pose, fps, window, seed, rng)
+        for audio_chunk in mic:               # any chunk size
+            for poses in stream.push(audio_chunk):
+                play(poses)                   # (N, stride, d_pose)
+        for poses in stream.flush():
+            play(poses)
+
+    Pipelining: each window's reverse process is dispatched as soon as its
+    audio is buffered; the seed tail feeds the next window as a DEVICE
+    array (no host sync between windows), and results are only pulled to
+    host once ``max_in_flight`` windows are outstanding (or at flush).
+    """
+
+    def __init__(self, generator: Generator, wav_sr: int, pose_dim: int,
+                 pose_fps: int, pose_window_len: int, pose_seed_len: int,
+                 rng: jax.Array, smooth_trans: bool = True,
+                 trans_factor: Optional[float] = None,
+                 init_poses: Optional[jax.Array] = None,
+                 sample_alg: str = "ddim", max_in_flight: int = 4):
+        assert pose_seed_len < pose_window_len
+        self.gen = generator
+        self.wav_sr = wav_sr
+        self.pose_dim = pose_dim
+        self.pose_fps = pose_fps
+        self.window_len = pose_window_len
+        self.seed_len = pose_seed_len
+        self.stride = pose_window_len - pose_seed_len
+        self.wav_window_len = int(wav_sr * pose_window_len / pose_fps)
+        self.smooth_trans = smooth_trans
+        self.trans_factor = trans_factor
+        self.sample_alg = sample_alg
+        self.max_in_flight = max(1, max_in_flight)
+        self._rng = rng
+        self._init_tail = (jnp.asarray(init_poses)
+                           if init_poses is not None else None)
+        self._buf = []                  # received audio chunks (np)
+        self._buf_offset = 0            # absolute index of _buf[0][..., 0]
+        self._received = 0
+        self._n = None                  # batch size, fixed by first push
+        self._next_div = 0              # next window index to dispatch
+        self._in_flight = []            # device samples, dispatch order
+        self._last_dispatched = None    # device sample of the newest window
+        self._emitted_idx = 0           # next window index to emit
+        self._prev_np = None            # last materialised sample (np)
+        self._emitted_frames = 0
+        self._assemble = None           # jitted device-side ip builder
+        self._finished = False
+
+    # -- internals -----------------------------------------------------
+    def _audio(self, start: int, end: int) -> np.ndarray:
+        """Buffered audio [start:end) zero-padded to the window length."""
+        full = np.concatenate(self._buf, axis=-1)
+        s = start - self._buf_offset
+        window = full[..., s:s + min(end, self._received) - start]
+        if window.shape[-1] < end - start:
+            pad = np.zeros(window.shape[:-1] + (end - start - window.shape[-1],),
+                           np.float32)
+            window = np.concatenate([window, pad], axis=-1)
+        return window
+
+    def _compact(self) -> None:
+        """Drop buffered chunks wholly before the next window's start so a
+        long-running stream holds O(window) audio, not O(stream)."""
+        keep_from = int(self._next_div * self.stride
+                        / self.pose_fps * self.wav_sr)
+        while self._buf and (self._buf_offset + self._buf[0].shape[-1]
+                             <= keep_from):
+            self._buf_offset += self._buf[0].shape[-1]
+            self._buf.pop(0)
+
+    def _dispatch_ready(self, final_len: Optional[int] = None) -> None:
+        """Issue every window whose audio is available (all remaining ones
+        when ``final_len`` marks the end of the stream)."""
+        while True:
+            d = self._next_div
+            wav_start = int(d * self.stride / self.pose_fps * self.wav_sr)
+            wav_end = wav_start + self.wav_window_len
+            if final_len is None:
+                if wav_end > self._received:
+                    return
+            else:
+                if d >= self._num_divisions(final_len):
+                    return
+            wavs = jnp.asarray(self._audio(wav_start, wav_end))
+            if self._init_tail is None and d == 0:
+                ip = im = None
+            else:
+                tail = (self._init_tail if d == 0
+                        else self._last_dispatched[:, -self.seed_len:])
+                if self._assemble is None:
+                    n = wavs.shape[0]
+                    mask = np.zeros((n, self.window_len, 1), np.float32)
+                    mask[:, :self.seed_len] = 1.0
+                    self._mask = jnp.asarray(mask)
+
+                    def assemble(tail):
+                        return jnp.zeros(
+                            (n, self.window_len, self.pose_dim), jnp.float32
+                        ).at[:, :self.seed_len].set(tail)
+
+                    self._assemble = jax.jit(assemble)
+                ip, im = self._assemble(tail), self._mask
+            self._rng, sub = jax.random.split(self._rng)
+            sample = self.gen.generate_sample(
+                wavs, self.pose_dim, self.window_len, sub,
+                inpaint_poses=ip, inpaint_masks=im,
+                sample_alg=self.sample_alg, trans_factor=self.trans_factor,
+                pose_seed_len=self.seed_len)
+            self._in_flight.append(sample)
+            self._last_dispatched = sample
+            self._next_div += 1
+
+    def _num_divisions(self, wav_len: int) -> int:
+        seq_len = wav_len // self.wav_sr * self.pose_fps
+        num_div = int(np.ceil(seq_len / self.stride))
+        if (seq_len - self.seed_len) % self.stride == 0:
+            num_div -= 1
+        return num_div
+
+    def _crossfade(self, x: np.ndarray) -> np.ndarray:
+        if self.smooth_trans and self._emitted_idx > 0:
+            s = self.seed_len
+            ratio = (np.arange(s, dtype=np.float32) / s)[None, :, None]
+            head = x[:, :s] * ratio + self._prev_np[:, -s:] * (1.0 - ratio)
+            x = np.concatenate([head, x[:, s:]], axis=1)
+        return x
+
+    def _emit(self, final: bool, seq_len: Optional[int] = None):
+        """Materialise the oldest in-flight sample and build its output
+        chunk (stride frames; the final chunk is trimmed to seq_len)."""
+        raw = np.asarray(self._in_flight.pop(0))
+        x = self._crossfade(raw)
+        self._prev_np = raw
+        self._emitted_idx += 1
+        if final:
+            chunk = x[:, : seq_len - self._emitted_frames]
+        else:
+            chunk = x[:, : self.stride]
+        self._emitted_frames += chunk.shape[1]
+        return chunk
+
+    # -- public API ----------------------------------------------------
+    def push(self, audio) -> list:
+        """Feed an audio chunk (shape ``(T,)`` or ``(N, T)``); returns the
+        pose chunks (each ``(N, <=stride, pose_dim)``) completed so far.
+        Blocks only when more than ``max_in_flight`` windows are pending."""
+        assert not self._finished, "stream already flushed"
+        chunk = np.asarray(audio, np.float32)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        if self._n is None:
+            self._n = chunk.shape[0]
+        assert chunk.shape[0] == self._n, "batch size changed mid-stream"
+        self._buf.append(chunk)
+        self._received += chunk.shape[-1]
+        self._dispatch_ready()
+        out = []
+        # a popped window is final only if it is the stream's last — which
+        # we can't know until flush; so keep >=1 window pending here
+        while len(self._in_flight) > self.max_in_flight:
+            out.append(self._emit(final=False))
+        return out
+
+    def flush(self) -> list:
+        """End of audio: dispatch the remaining (zero-padded) windows and
+        return all remaining pose chunks.  Total emitted length equals
+        ``generate_sequence``'s output for the same audio."""
+        assert not self._finished, "stream already flushed"
+        self._finished = True
+        self._dispatch_ready(final_len=self._received)
+        seq_len = self._received // self.wav_sr * self.pose_fps
+        out = []
+        while self._in_flight:
+            out.append(self._emit(final=not self._in_flight[1:],
+                                  seq_len=seq_len))
+        return out

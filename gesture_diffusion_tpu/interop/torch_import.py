@@ -141,6 +141,66 @@ def _resnet(sd: Mapping, base: str):
     return params, stats
 
 
+def _cross_layer(sd: Mapping, lp: str, with_ff_mem: bool) -> dict:
+    """CrossAttentionLayer (nn.py:55-125): oneway's blocks plus a memory
+    self-attention stream; all but the last layer also feed-forward the
+    memory."""
+    out = {
+        "norm_self_attn": _layernorm(sd, f"{lp}.norm_self_attn"),
+        "self_attn": _mha(sd, f"{lp}.self_attn"),
+        "norm_self_attn_mem": _layernorm(sd, f"{lp}.norm_self_attn_mem"),
+        "self_attn_mem": _mha(sd, f"{lp}.self_attn_mem"),
+        "norm_cross_attn": _layernorm(sd, f"{lp}.norm_cross_attn"),
+        "cross_attn": _mha(sd, f"{lp}.cross_attn"),
+        "norm_ff": _layernorm(sd, f"{lp}.norm_ff"),
+        "ff": {"layer1": _linear(sd, f"{lp}.feed_forward.layer1"),
+               "layer2": _linear(sd, f"{lp}.feed_forward.layer2")},
+    }
+    if with_ff_mem:
+        out["norm_ff_mem"] = _layernorm(sd, f"{lp}.norm_ff_mem")
+        out["ff_mem"] = {
+            "layer1": _linear(sd, f"{lp}.feed_forward_mem.layer1"),
+            "layer2": _linear(sd, f"{lp}.feed_forward_mem.layer2")}
+    return out
+
+
+def _cross_decoder(sd: Mapping, base: str, n_layers: int) -> dict:
+    """CrossAttention decoder (nn.py:381-447)."""
+    params = {"emb_x": _linear(sd, f"{base}.emb_x"),
+              "emb_mem": _linear(sd, f"{base}.emb_mem"),
+              "out_norm": _layernorm(sd, f"{base}.out_layers.0"),
+              "out_proj": _linear(sd, f"{base}.out_layers.1")}
+    for i in range(n_layers):
+        params[f"layer{i}"] = _cross_layer(
+            sd, f"{base}.layers.{i}", with_ff_mem=i < n_layers - 1)
+    return params
+
+
+def _graph_conv(sd: Mapping, prefix: str) -> dict:
+    """ConvTemporalGraphical (tgcn.py:6-63): a 1x1 Conv2d producing
+    out_channels*K partition-major channels -> our Dense ``proj`` with the
+    same (K-major) output layout."""
+    w = _np(sd[f"{prefix}.conv.weight"])[:, :, 0, 0].T   # (I, O*K)
+    return {"kernel": w, "bias": _np(sd[f"{prefix}.conv.bias"])}
+
+
+def _gcn_decoder(sd: Mapping, base: str, n_layers: int) -> dict:
+    """CrossAttentionGCN decoder (nn.py:277-378): per-vertex emb_x, the
+    cross-attention layer stack each prefixed by a graph conv, plain Linear
+    out head (no out LayerNorm, nn.py:348)."""
+    params = {"emb_x": _linear(sd, f"{base}.emb_x"),
+              "emb_mem": _linear(sd, f"{base}.emb_mem"),
+              "out_proj": _linear(sd, f"{base}.out_layers")}
+    for i in range(n_layers):
+        lp = f"{base}.layers.{i}"
+        params[f"layer{i}"] = {
+            "norm_gcn": _layernorm(sd, f"{lp}.norm_gcn"),
+            "gcn": {"proj": _graph_conv(sd, f"{lp}.gcn")},
+            "attn": _cross_layer(sd, lp, with_ff_mem=i < n_layers - 1),
+        }
+    return params
+
+
 def _oneway_decoder(sd: Mapping, base: str, n_layers: int):
     params = {"emb_x": _linear(sd, f"{base}.emb_x"),
               "emb_mem": _linear(sd, f"{base}.emb_mem"),
@@ -160,17 +220,111 @@ def _oneway_decoder(sd: Mapping, base: str, n_layers: int):
     return params
 
 
+def _unet_res_block(sd: Mapping, prefix: str) -> dict:
+    """GLIDE ResBlock (glide/unet.py:110-198, use_scale_shift_norm=True,
+    the UNetAttn factory default — model_creation.py:118) -> ResBlock1D."""
+    out = {
+        "norm_in": _layernorm(sd, f"{prefix}.in_layers.0"),
+        "conv_in": _conv_nd(sd, f"{prefix}.in_layers.2"),
+        "emb_proj": _linear(sd, f"{prefix}.emb_layers.1"),
+        "norm_out": _layernorm(sd, f"{prefix}.out_layers.0"),
+        "conv_out": _conv_nd(sd, f"{prefix}.out_layers.3"),
+    }
+    if f"{prefix}.skip_connection.weight" in sd:
+        out["skip_proj"] = _conv_nd(sd, f"{prefix}.skip_connection")
+    return out
+
+
+def _unet_attn_block(sd: Mapping, prefix: str) -> dict:
+    """GLIDE AttentionBlock (glide/unet.py:201-243): head-major interleaved
+    QKV 1x1 convs -> Dense (layout preserved, see _dense_from_conv1)."""
+    out = {
+        "norm": _layernorm(sd, f"{prefix}.norm"),
+        "qkv": _dense_from_conv1(sd, f"{prefix}.qkv"),
+        "proj_out": _dense_from_conv1(sd, f"{prefix}.proj_out"),
+    }
+    if f"{prefix}.encoder_kv.weight" in sd:
+        out["encoder_kv"] = _dense_from_conv1(sd, f"{prefix}.encoder_kv")
+    return out
+
+
+def _unet_decoder(sd: Mapping, base: str, cfg: DenoiserConfig) -> dict:
+    """UNetAttn decoder (nn.py:450-544 over glide/unet.py:280-493) ->
+    ``models/unet_decoder.py::UNetAttn``.  Walks the same block-construction
+    loop as the torch module list so indices line up with our layer names
+    (conv_resample=True, resblock_updown=False — the UNetAttn defaults)."""
+    channel_mult = tuple(cfg.channel_mult)
+    attn_res = set(cfg.attention_resolutions)
+    num_res_blocks = cfg.n_layers
+    unet = {
+        "conv_in": _conv_nd(sd, f"{base}.input_blocks.0.0"),
+        "norm_out": _layernorm(sd, f"{base}.out.0"),
+        "conv_out": _conv_nd(sd, f"{base}.out.2"),
+    }
+    ds, ti = 1, 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            unet[f"down_{level}_{i}"] = _unet_res_block(
+                sd, f"{base}.input_blocks.{ti}.0")
+            if ds in attn_res:
+                unet[f"down_attn_{level}_{i}"] = _unet_attn_block(
+                    sd, f"{base}.input_blocks.{ti}.1")
+            ti += 1
+        if level != len(channel_mult) - 1:
+            unet[f"downsample_{level}"] = _conv_nd(
+                sd, f"{base}.input_blocks.{ti}.0.op")
+            ti += 1
+            ds *= 2
+
+    unet["middle_res1"] = _unet_res_block(sd, f"{base}.middle_block.0")
+    unet["middle_attn"] = _unet_attn_block(sd, f"{base}.middle_block.1")
+    unet["middle_res2"] = _unet_res_block(sd, f"{base}.middle_block.2")
+
+    for oi in range(len(channel_mult) * (num_res_blocks + 1)):
+        level = len(channel_mult) - 1 - oi // (num_res_blocks + 1)
+        i = oi % (num_res_blocks + 1)
+        unet[f"up_{level}_{i}"] = _unet_res_block(
+            sd, f"{base}.output_blocks.{oi}.0")
+        li = 1
+        if ds in attn_res:
+            unet[f"up_attn_{level}_{i}"] = _unet_attn_block(
+                sd, f"{base}.output_blocks.{oi}.{li}")
+            li += 1
+        if level and i == num_res_blocks:
+            unet[f"upsample_{level}"] = _conv_nd(
+                sd, f"{base}.output_blocks.{oi}.{li}.conv")
+            ds //= 2
+    return {
+        "time_embed_0": _linear(sd, f"{base}.time_embed.0"),
+        "time_embed_2": _linear(sd, f"{base}.time_embed.2"),
+        "unet": unet,
+    }
+
+
+_DECODER_IMPORTERS = {
+    "oneway_cross_attention":
+        lambda sd, cfg: _oneway_decoder(sd, "pose_decoder", cfg.n_layers),
+    "cross_attention":
+        lambda sd, cfg: _cross_decoder(sd, "pose_decoder", cfg.n_layers),
+    "cross_attention_gcn":
+        lambda sd, cfg: _gcn_decoder(sd, "pose_decoder", cfg.n_layers),
+    "unet_attention":
+        lambda sd, cfg: _unet_decoder(sd, "pose_decoder", cfg),
+}
+
+
 def import_torch_state_dict(state_dict: Mapping, cfg: DenoiserConfig) -> dict:
     """Reference torch ``state_dict`` -> ``{"params": ..., "batch_stats": ...}``
     ready for ``GestureDenoiser(cfg).apply``.
 
-    Supports ``model_type`` "default"/"s2g_v2" with the oneway decoder
-    (the operational BEAT configuration).  Tensors may be torch tensors or
-    anything ``np.asarray`` accepts.
+    Supports every ``model_type`` ("default"/"s2g_v2"/"inpaint", incl. the
+    inpaint variant's zero-init conditioning MLP, model.py:137-147) crossed
+    with every ``SUPPORTED_DECODERS`` entry.  Tensors may be torch tensors
+    or anything ``np.asarray`` accepts.
     """
-    if cfg.decoder_type != "oneway_cross_attention":
+    if cfg.decoder_type not in _DECODER_IMPORTERS:
         raise NotImplementedError(
-            f"torch import supports the oneway decoder, got {cfg.decoder_type}")
+            f"unknown decoder type for torch import: {cfg.decoder_type}")
 
     sd = dict(state_dict)
     resnet_params, resnet_stats = _resnet(
@@ -184,10 +338,18 @@ def import_torch_state_dict(state_dict: Mapping, cfg: DenoiserConfig) -> dict:
             "proj1": _linear(sd, "diffusion_step_encoder.proj.0"),
             "proj2": _linear(sd, "diffusion_step_encoder.proj.2"),
         },
-        "decoder": _oneway_decoder(sd, "pose_decoder", cfg.n_layers),
+        "decoder": _DECODER_IMPORTERS[cfg.decoder_type](sd, cfg),
     }
     if cfg.model_type == "s2g_v2":
         params["blend_layer"] = _linear(sd, "blend_layer")
+    if cfg.model_type == "inpaint":
+        # Sequential(Linear, SiLU, Linear, SiLU, Linear, Dropout) — torch
+        # indices 0/2/4 == flax Sequential layers_0/2/4 (model.py:137-144)
+        params["inpaint_proj"] = {
+            "layers_0": _linear(sd, "proj.0"),
+            "layers_2": _linear(sd, "proj.2"),
+            "layers_4": _linear(sd, "proj.4"),
+        }
     batch_stats = {"speech_encoder": {"resnet": resnet_stats}}
     return {"params": params, "batch_stats": batch_stats}
 

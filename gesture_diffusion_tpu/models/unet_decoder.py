@@ -209,11 +209,12 @@ class UNetAttn(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, memory: jax.Array, train: bool) -> jax.Array:
         t_token, audio = memory[:, 0], memory[:, 1:]
-        emb = nn.Sequential([
-            nn.Dense(4 * self.d_model, dtype=self.dtype),
-            jax.nn.silu,
-            nn.Dense(4 * self.d_model, dtype=self.dtype),
-        ], name="time_embed")(t_token)
+        # time_embed_dim == model_channels in the reference's vendored GLIDE
+        # (glide/unet.py:349 — NOT the upstream 4x widening)
+        emb = nn.Dense(self.d_model, dtype=self.dtype,
+                       name="time_embed_0")(t_token)
+        emb = nn.Dense(self.d_model, dtype=self.dtype,
+                       name="time_embed_2")(jax.nn.silu(emb))
 
         lo, hi = _pad_lengths(self.window_len, len(self.channel_mult) - 1)
         h = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))

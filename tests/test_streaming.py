@@ -1,0 +1,112 @@
+"""Generator.stream(): push-API output must equal the offline
+``generate_sequence`` on the same audio and rng (reference continuation
+semantics, ``models/generator.py:80-195``), regardless of push chunking
+or in-flight depth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gesture_diffusion_tpu.diffusion import (
+    linear_betas,
+    respaced_schedule,
+    space_timesteps,
+)
+from gesture_diffusion_tpu.generation import Generator
+from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
+
+D_POSE, T_POSE, SEED_LEN = 12, 10, 4
+SR, FPS = 16000, 20          # 10-frame window = 0.5 s = 8000 samples
+WAV_WINDOW = SR * T_POSE // FPS
+
+
+@pytest.fixture(scope="module")
+def gen():
+    cfg = DenoiserConfig(d_pose=D_POSE, d_model=32, heads=4, n_layers=1)
+    model = GestureDenoiser(cfg)
+    wav = jnp.zeros((1, WAV_WINDOW))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, T_POSE, D_POSE)),
+                           jnp.zeros((1,), jnp.int32), wav, train=False)
+    sched, tmap = respaced_schedule(
+        linear_betas(100), space_timesteps(100, "ddim5"))
+    return Generator(model, variables, sched, jnp.asarray(tmap))
+
+
+def _long_wav(seconds, n=1, seed=0):
+    return np.random.default_rng(seed).normal(
+        0, 0.3, (n, SR * seconds)).astype(np.float32)
+
+
+def _offline(gen, wav, **kw):
+    return gen.generate_sequence(
+        jnp.asarray(wav), SR, D_POSE, FPS, T_POSE, SEED_LEN,
+        rng=jax.random.key(42), **kw)
+
+
+def _streamed(gen, wav, chunk, max_in_flight=4, **kw):
+    stream = gen.stream(SR, D_POSE, FPS, T_POSE, SEED_LEN,
+                        rng=jax.random.key(42),
+                        max_in_flight=max_in_flight, **kw)
+    chunks = []
+    for i in range(0, wav.shape[-1], chunk):
+        chunks.extend(stream.push(wav[:, i:i + chunk]))
+    chunks.extend(stream.flush())
+    return np.concatenate(chunks, axis=1)
+
+
+class TestStreamEqualsOffline:
+    def test_basic(self, gen):
+        wav = _long_wav(2)
+        ref = _offline(gen, wav)
+        out = _streamed(gen, wav, chunk=3000)
+        assert out.shape == ref.shape == (1, 2 * FPS, D_POSE)
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+    def test_chunk_size_invariance(self, gen):
+        wav = _long_wav(2, seed=1)
+        ref = _streamed(gen, wav, chunk=WAV_WINDOW)
+        for chunk in (512, 7999, 16000):
+            out = _streamed(gen, wav, chunk=chunk)
+            np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_in_flight_depth_invariance(self, gen):
+        wav = _long_wav(2, seed=2)
+        ref = _streamed(gen, wav, chunk=4000, max_in_flight=1)
+        out = _streamed(gen, wav, chunk=4000, max_in_flight=8)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_with_init_poses_and_ramp(self, gen):
+        wav = _long_wav(2, seed=3)
+        init = np.random.default_rng(7).normal(
+            size=(1, SEED_LEN, D_POSE)).astype(np.float32)
+        kw = dict(init_poses=jnp.asarray(init), trans_factor=0.5)
+        ref = _offline(gen, wav, **kw)
+        out = _streamed(gen, wav, chunk=2500, **kw)
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+    def test_no_smooth_trans(self, gen):
+        wav = _long_wav(1, seed=4)
+        ref = _offline(gen, wav, smooth_trans=False)
+        out = _streamed(gen, wav, chunk=1000, smooth_trans=False)
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+    def test_batch_of_streams(self, gen):
+        wav = _long_wav(2, n=2, seed=5)
+        ref = _offline(gen, wav)
+        out = _streamed(gen, wav, chunk=6000)
+        assert out.shape == (2, 2 * FPS, D_POSE)
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+    def test_incremental_emission(self, gen):
+        """Chunks must come out DURING streaming (pipelined), not all at
+        flush."""
+        wav = _long_wav(4, seed=6)
+        stream = gen.stream(SR, D_POSE, FPS, T_POSE, SEED_LEN,
+                            rng=jax.random.key(0), max_in_flight=1)
+        seen_before_flush = 0
+        for i in range(0, wav.shape[-1], 2000):
+            seen_before_flush += len(stream.push(wav[:, i:i + 2000]))
+        assert seen_before_flush > 0
+        total = seen_before_flush + len(stream.flush())
+        assert total >= seen_before_flush + 1
