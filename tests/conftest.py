@@ -15,4 +15,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compile cache (content-hashed, so always safe): repeat
+# suite runs skip recompiling unchanged programs — test_training.py alone
+# saves minutes on this 1-core host.
+from gesture_diffusion_tpu.utils.profiling import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/root/.cache/jax_comp_tests")
+
 assert jax.default_backend() == "cpu"
