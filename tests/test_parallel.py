@@ -32,6 +32,34 @@ def test_shard_and_replicate_placement():
     assert rep["w"].sharding.is_fully_replicated
 
 
+def test_multihost_mesh_batch_assembly_any_device_order():
+    """iter_batches' multihost+mesh branch derives each device's global
+    rows from the sharding's own indices map — so a mesh built with a
+    PERMUTED device order must still assemble batches whose global row
+    order matches the logical selection (the contiguous-span assumption
+    the old host_slice pairing silently made; ADVICE r2)."""
+    from gesture_diffusion_tpu.training import ArrayDataset
+    from gesture_diffusion_tpu.training.data import iter_batches
+
+    data = {
+        "wav": np.arange(64, dtype=np.float32).reshape(16, 4),
+        "pose": np.arange(16 * 6, dtype=np.float32).reshape(16, 2, 3),
+    }
+    ds = ArrayDataset(data)
+    devices = jax.devices()
+    perm = [devices[i] for i in (3, 0, 6, 1, 7, 2, 5, 4)]
+    for mesh in (make_mesh(), make_mesh(devices=perm)):
+        batches = list(iter_batches(ds, 8, shuffle=False, mesh=mesh,
+                                    process_count=2, process_index=0))
+        assert len(batches) == 2
+        for b, batch in enumerate(batches):
+            got = np.asarray(batch["wav"])
+            np.testing.assert_array_equal(got, data["wav"][b * 8:(b + 1) * 8])
+            assert not batch["wav"].sharding.is_fully_replicated
+            np.testing.assert_array_equal(np.asarray(batch["pose"]),
+                                          data["pose"][b * 8:(b + 1) * 8])
+
+
 def test_tensor_parallel_train_step_matches_dp():
     """DP x TP (4x2) train step produces the same loss as DP-only (8x1):
     XLA's SPMD partitioner handles the Megatron-style shardings."""
