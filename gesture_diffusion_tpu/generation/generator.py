@@ -75,6 +75,15 @@ class Generator:
         self._fused_prep = None
         self._fused_key = None
 
+    def update_variables(self, variables: dict) -> None:
+        """Swap in new weights (e.g. after further training).  Use this
+        instead of assigning ``self.variables`` directly: the fused path
+        packs weights into its VMEM layout once and caches them, so a bare
+        assignment would keep sampling with the STALE packed weights."""
+        self.variables = variables
+        self._fused_packed = None
+        self._fused_key = None
+
     # -- fused single-kernel DDIM path ---------------------------------
     def _fused_enabled(self) -> bool:
         if self.use_fused is False:

@@ -124,6 +124,28 @@ class TestEvalPaths:
         assert out["vb"].shape == (2, 10)
         assert np.isfinite(np.asarray(out["total_bpd"])).all()
 
+    def test_update_variables_changes_output(self, gen):
+        """update_variables must invalidate weight caches so subsequent
+        samples use the new weights (a bare .variables assignment would
+        leave the fused path's packed weights stale)."""
+        import jax as _jax
+
+        old_vars = gen.variables
+        noise = jax.random.normal(jax.random.key(7), (1, T_POSE, D_POSE))
+        a = gen.generate_sample(_wav(1), D_POSE, T_POSE, jax.random.key(8),
+                                noise=noise)
+        perturbed = _jax.tree.map(lambda x: x + 0.05, old_vars["params"])
+        gen.update_variables({"params": perturbed,
+                              **{k: v for k, v in old_vars.items()
+                                 if k != "params"}})
+        b = gen.generate_sample(_wav(1), D_POSE, T_POSE, jax.random.key(8),
+                                noise=noise)
+        gen.update_variables(old_vars)
+        c = gen.generate_sample(_wav(1), D_POSE, T_POSE, jax.random.key(8),
+                                noise=noise)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c))
+
     def test_eval_infer_time(self, gen):
         mean_ms, std_ms, steps_per_sec = gen.eval_infer_time(
             _wav(1), D_POSE, T_POSE, repetitions=2, warmup=1)
