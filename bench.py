@@ -114,7 +114,11 @@ def measure_train_step(n_steps: int = 20, warmup: int = 3):
 
     from gesture_diffusion_tpu.diffusion import linear_betas, make_schedule
     from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
-    from gesture_diffusion_tpu.training import TrainState, make_train_step
+    from gesture_diffusion_tpu.training import (
+        TrainState,
+        init_opt_state,
+        make_train_step,
+    )
 
     cfg = DenoiserConfig(d_pose=D_POSE, encoder_dtype="bfloat16")
     model = GestureDenoiser(cfg)
@@ -128,9 +132,9 @@ def measure_train_step(n_steps: int = 20, warmup: int = 3):
     variables = model.init(jax.random.key(0), batch["pose"],
                            jnp.zeros((64,), jnp.int32), batch["wav"],
                            train=False)
-    optimizer = optax.flatten(optax.adamw(1e-4))
+    optimizer = optax.adamw(1e-4)
     state = TrainState(variables["params"], variables.get("batch_stats", {}),
-                       optimizer.init(variables["params"]),
+                       init_opt_state(optimizer, variables["params"]),
                        jnp.asarray(0, jnp.int32))
     sched = make_schedule(linear_betas(DIFFUSION_STEPS))
     step = make_train_step(model, sched, optimizer, None)

@@ -102,10 +102,10 @@ def build_all(
     wd = (train_params.get("weight_decay") or 0.0) if hasattr(train_params, "get") else 0.0
     lr_schedule = build_lr_schedule(
         train_params.get("Scheduler") if hasattr(train_params, "get") else None, lr)
-    # optax.flatten: AdamW state/update math over ONE ravelled vector
-    # instead of ~360 per-leaf ops — smaller programs, fewer buffers
-    optimizer = optax.flatten(
-        optax.adamw(learning_rate=lr_schedule, weight_decay=wd))
+    # plain AdamW: make_train_step runs the whole optimizer tail on ONE
+    # ravelled vector (training/train_state.py::init_opt_state), so no
+    # optax.flatten wrapper is needed
+    optimizer = optax.adamw(learning_rate=lr_schedule, weight_decay=wd)
 
     return ModelBundle(model, sched, tmap, eval_sched, eval_tmap,
                        optimizer, lr_schedule)

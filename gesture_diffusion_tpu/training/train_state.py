@@ -20,8 +20,25 @@ from ..diffusion.gaussian import Schedule
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
-    opt_state: Any
+    opt_state: Any           # over the RAVELLED param vector (init_opt_state)
     step: jax.Array          # scalar int32
+
+
+def init_opt_state(optimizer: optax.GradientTransformation, params):
+    """Optimizer state over the single ravelled parameter vector.
+
+    The train step runs the whole optimizer tail (grad norm, clipping,
+    AdamW) on ONE flat buffer: per-leaf tails cost ~2.5 us/op x ~360
+    leaves x several ops on this model — an XLA Ops trace showed 8.1 ms
+    of per-leaf ``global_norm`` reduces alone in a 25 ms step (PERF.md
+    round 3).  AdamW is elementwise, so flat-vector math is bit-equivalent
+    to per-leaf math.  (Trade-off: a flat optimizer state is replicated
+    under tensor parallelism — the right choice for this 10M-param family;
+    a multi-billion-param model would keep per-leaf sharded states.)
+    """
+    from jax.flatten_util import ravel_pytree
+
+    return optimizer.init(ravel_pytree(params)[0])
 
 
 def wasserstein_distance_1d(xs: jax.Array, ys: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -8,6 +8,7 @@ import pytest
 
 from gesture_diffusion_tpu.diffusion import make_diffusion, ddim_sample_loop
 from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
+from gesture_diffusion_tpu.training import init_opt_state
 from gesture_diffusion_tpu.parallel import (
     data_sharding,
     make_mesh,
@@ -88,7 +89,7 @@ def test_tensor_parallel_train_step_matches_dp():
     def fresh():
         p = jax.tree.map(jnp.copy, variables["params"])
         return TrainState(p, jax.tree.map(jnp.copy, variables["batch_stats"]),
-                          opt.init(p), jnp.asarray(0, jnp.int32))
+                          init_opt_state(opt, p), jnp.asarray(0, jnp.int32))
 
     mesh_dp = make_mesh(n_data=8)
     s = TrainState(*replicate(tuple(fresh()), mesh_dp))
@@ -104,7 +105,7 @@ def test_tensor_parallel_train_step_matches_dp():
     assert n_sharded == 20
     params_tp = apply_shardings(base.params, shardings)
     s_tp = TrainState(params_tp, replicate(base.batch_stats, mesh),
-                      opt.init(params_tp), jnp.asarray(0, jnp.int32))
+                      init_opt_state(opt, params_tp), jnp.asarray(0, jnp.int32))
     new_state, m_tp = step(s_tp, shard_batch(batch, mesh), jax.random.key(1))
     assert abs(float(m_dp["loss"]) - float(m_tp["loss"])) < 1e-4
     # shardings survive the optimizer update

@@ -18,6 +18,7 @@ from gesture_diffusion_tpu.training import (
     Trainer,
     TrainState,
     build_lr_schedule,
+    init_opt_state,
     make_train_step,
     noam_xf_schedule,
     wasserstein_distance_1d,
@@ -45,7 +46,7 @@ def small_setup():
 def _make_trainer(model, sched, tmp, seed=0, lr=3e-4, **kw):
     train_ds = synthetic_dataset(seed=0)
     val_ds = synthetic_dataset(n=16, seed=1)
-    optimizer = optax.flatten(optax.adamw(lr))
+    optimizer = optax.adamw(lr)
     return Trainer(
         model, sched, optimizer, lambda s: lr,
         train_ds, val_ds, batch_size=16,
@@ -179,9 +180,9 @@ def test_encoder_bf16_matches_fp32_loss(small_setup, tmp_path):
             jax.random.key(0), jnp.zeros((1, 10, 12)),
             jnp.zeros((1,), jnp.int32), jnp.asarray(ds.data["wav"][:1]),
             train=False)
-        opt = optax.flatten(optax.adamw(1e-3))
+        opt = optax.adamw(1e-3)
         state = TrainState(variables["params"], variables["batch_stats"],
-                           opt.init(variables["params"]),
+                           init_opt_state(opt, variables["params"]),
                            jnp.asarray(0, jnp.int32))
         step = make_train_step(model, sched, opt, None)
         batch = {"pose": jnp.asarray(ds.data["pose"][:8]),
