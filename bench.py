@@ -146,7 +146,25 @@ def measure_train_step(n_steps: int = 20, warmup: int = 3):
     for _ in range(n_steps):
         state, metrics = step(state, batch, key)
     jax.block_until_ready((state, metrics))
-    return (time.perf_counter() - t0) * 1e3 / n_steps
+    per_step = (time.perf_counter() - t0) * 1e3 / n_steps
+
+    # K steps per dispatch (lax.scan over stacked batches): amortises the
+    # ~20 ms/step of per-program overhead measured on this tunnel-attached
+    # chip (PERF.md round 3) — the deployment-shaped number
+    from gesture_diffusion_tpu.training import make_train_multi_step
+
+    K = 8
+    multi = make_train_multi_step(model, sched, optimizer, None)
+    stacked = {k: jnp.broadcast_to(v, (K,) + v.shape) for k, v in batch.items()}
+    stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
+    state, metrics = multi(state, stacked, key)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, metrics = multi(state, stacked, key)
+    jax.block_until_ready((state, metrics))
+    per_step_scan = (time.perf_counter() - t0) * 1e3 / (5 * K)
+    return per_step, per_step_scan
 
 
 def main():
@@ -156,7 +174,7 @@ def main():
             baseline_sps = json.load(f).get("reference_steps_per_sec")
 
     t1, t64, ts, t_pipe, path, fused_dev = measure_ours()
-    train_ms = measure_train_step()
+    train_ms, train_ms_scan = measure_train_step()
     # p50 headline: the tunnel-attached chip shows ~±10% run-to-run spread
     # (PERF.md); the median of 30 reps is stable where a mean of 10 was one
     # draw.  p50/min/mean all reported so round deltas are attributable.
@@ -190,6 +208,7 @@ def main():
             "fused_max_rel_dev": (round(fused_dev, 6)
                                   if fused_dev is not None else None),
             "train_step_ms_b64": round(train_ms, 2),
+            "train_step_ms_b64_scan8": round(train_ms_scan, 2),
             "baseline_reference_steps_per_sec_torch_cpu": baseline_sps,
         },
     }

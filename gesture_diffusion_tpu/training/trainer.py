@@ -27,7 +27,7 @@ import optax
 
 from ..diffusion.gaussian import Schedule
 from ..models.denoiser import GestureDenoiser
-from ..parallel import make_mesh, replicate
+from ..parallel import make_mesh, replicate, shard_batch
 from ..utils.rng import RngStream
 from .checkpoint import checkpoint_path, load_checkpoint, save_checkpoint
 from .data import ArrayDataset, iter_batches
@@ -76,7 +76,7 @@ def load_start_params(params, start_chkpt: str):
     return flax.traverse_util.unflatten_dict(flat_dst)
 
 
-def make_train_step(
+def _train_step_body(
     model: GestureDenoiser,
     sched: Schedule,
     optimizer: optax.GradientTransformation,
@@ -130,7 +130,52 @@ def make_train_step(
         metrics["grad_norm"] = grad_norm
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(
+    model: GestureDenoiser,
+    sched: Schedule,
+    optimizer: optax.GradientTransformation,
+    loss_params: Optional[Dict[str, float]],
+    grad_norm_clip_value: Optional[float] = None,
+    grad_clip_value: Optional[float] = None,
+):
+    body = _train_step_body(model, sched, optimizer, loss_params,
+                            grad_norm_clip_value, grad_clip_value)
+    return jax.jit(body, donate_argnums=(0,))
+
+
+def make_train_multi_step(
+    model: GestureDenoiser,
+    sched: Schedule,
+    optimizer: optax.GradientTransformation,
+    loss_params: Optional[Dict[str, float]],
+    grad_norm_clip_value: Optional[float] = None,
+    grad_clip_value: Optional[float] = None,
+):
+    """K training steps per dispatch: one jitted ``lax.scan`` over a
+    leading steps axis of stacked batches ({"pose": (K, N, T, C), "wav":
+    (K, N, T_wav)}) with the state as donated carry.
+
+    Bit-identical to K successive ``make_train_step`` calls with the same
+    ``rng`` (the per-step stream is derived by folding ``state.step`` into
+    the rng inside the body), but pays the per-program dispatch/launch
+    cost once per K steps instead of per step — measured ~22 ms/step of
+    non-compute overhead on the tunnel-attached dev chip (PERF.md round 3).
+    Returns (state, metrics) with each metric stacked to (K,).
+    """
+    body = _train_step_body(model, sched, optimizer, loss_params,
+                            grad_norm_clip_value, grad_clip_value)
+
+    def multi_step(state: TrainState, batches, rng):
+        def scan_body(carry, batch):
+            new_state, metrics = body(carry, batch, rng)
+            return new_state, metrics
+
+        return jax.lax.scan(scan_body, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
 
 
 def make_val_step(
@@ -176,6 +221,7 @@ class Trainer:
         mesh=None,
         config: Optional[dict] = None,
         start_chkpt: Optional[str] = None,
+        steps_per_call: int = 1,
     ):
         """:param start_chkpt: fine-tuning — initialise params from another
         run's best weights where tree paths/shapes match, keeping fresh
@@ -202,6 +248,13 @@ class Trainer:
         self._train_step = make_train_step(
             model, sched, optimizer, self.loss_params,
             grad_norm_clip_value, grad_clip_value)
+        # steps_per_call > 1: scan K steps inside one program (per-dispatch
+        # overhead paid once per K; bit-identical to K single steps)
+        self.steps_per_call = max(1, int(steps_per_call))
+        self._train_multi = (make_train_multi_step(
+            model, sched, optimizer, self.loss_params,
+            grad_norm_clip_value, grad_clip_value)
+            if self.steps_per_call > 1 else None)
         self._val_step = make_val_step(model, sched, self.loss_params)
 
         # ---- init or resume -------------------------------------------------
@@ -266,20 +319,56 @@ class Trainer:
             },
         )
 
+    def _log_train(self, step: int, metrics, idx: Optional[int] = None) -> None:
+        if step % self.log_step_gap:
+            return
+        record = {f"train/{k}": float(jax.device_get(
+            v if idx is None else v[idx])) for k, v in metrics.items()}
+        record["train/step"] = step
+        record["train/lr"] = float(self.lr_schedule(step))
+        self.logger.log(record, step=step)
+
     def _run_train_epoch(self) -> None:
         rng = self.rngs.key("train")
         data_rng = self.rngs.numpy("shuffle", self.epochs_run)
+        multi = self.steps_per_call > 1
+        pending = []
+        # multi-step: collect host batches and shard the K-stack in one
+        # placement (dims (K, N, ...), batch axis sharded)
         for batch in iter_batches(self.train_dataset, self.batch_size,
-                                  rng=data_rng, mesh=self.mesh):
+                                  rng=data_rng,
+                                  mesh=None if multi else self.mesh):
+            if multi:
+                pending.append(batch)
+                if len(pending) == self.steps_per_call:
+                    self._flush_multi(pending, rng)
+                    pending = []
+                continue
             step = self._step
             self.state, metrics = self._train_step(self.state, batch, rng)
             self._step += 1
-            if step % self.log_step_gap == 0:
-                record = {f"train/{k}": float(jax.device_get(v))
-                          for k, v in metrics.items()}
-                record["train/step"] = step
-                record["train/lr"] = float(self.lr_schedule(step))
-                self.logger.log(record, step=step)
+            self._log_train(step, metrics)
+        # a short tail runs through the single-step path (same numerics)
+        for batch in pending:
+            step = self._step
+            self.state, metrics = self._train_step(
+                self.state, shard_batch(batch, self.mesh), rng)
+            self._step += 1
+            self._log_train(step, metrics)
+
+    def _flush_multi(self, batches, rng) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        stacked = {k: np.stack([np.asarray(b[k]) for b in batches])
+                   for k in batches[0]}
+        if self.mesh is not None:
+            s = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+            stacked = {k: jax.device_put(v, s) for k, v in stacked.items()}
+        first = self._step
+        self.state, metrics = self._train_multi(self.state, stacked, rng)
+        self._step += len(batches)
+        for i in range(len(batches)):
+            self._log_train(first + i, metrics, idx=i)
 
     def _run_val_epoch(self) -> float:
         rng = self.rngs.key("val", self.epochs_run)

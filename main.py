@@ -119,7 +119,8 @@ def train_model(config):
         grad_clip_value=config.Train.get("grad_clip_value"),
         mesh=_mesh_from_config(config),
         config=config.to_dict(),
-        start_chkpt=config.Model.get("start_chkpt"))
+        start_chkpt=config.Model.get("start_chkpt"),
+        steps_per_call=config.Train.get("steps_per_call", 1))
     steps_per_epoch = max(1, len(train_ds.as_arrays()) // config.Train.batch_size)
     max_epochs = max(1, round(
         parse_steps(config.Train.max_training_steps) / steps_per_epoch))

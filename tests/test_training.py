@@ -43,13 +43,13 @@ def small_setup():
     return model, sched
 
 
-def _make_trainer(model, sched, tmp, seed=0, lr=3e-4, **kw):
+def _make_trainer(model, sched, tmp, seed=0, lr=3e-4, batch_size=16, **kw):
     train_ds = synthetic_dataset(seed=0)
     val_ds = synthetic_dataset(n=16, seed=1)
     optimizer = optax.adamw(lr)
     return Trainer(
         model, sched, optimizer, lambda s: lr,
-        train_ds, val_ds, batch_size=16,
+        train_ds, val_ds, batch_size=batch_size,
         log_dir=str(tmp), seed=seed, mesh=make_mesh(), **kw)
 
 
@@ -133,6 +133,68 @@ class TestTrainer:
         trainer.train(max_epochs=1)
         recs = [r for r in trainer.logger.read_all() if "train/grad_norm" in r]
         assert all(np.isfinite(r["train/grad_norm"]) for r in recs)
+
+
+class TestMultiStep:
+    def test_multi_step_equals_single_steps(self, small_setup):
+        """K scanned steps in one program must match K successive
+        single-step calls: the rng stream (fold-by-step) is identical by
+        construction, so losses match to float noise.  Params are compared
+        with tolerance, NOT bit-exactly: the two programs compile conv
+        gradients with different reduction orders, and Adam's g/sqrt(v)
+        normalisation amplifies near-zero grads up to lr scale (measured:
+        ~1e-4 on a handful of conv-kernel elements per step, both paths
+        individually deterministic)."""
+        from gesture_diffusion_tpu.training import make_train_multi_step
+
+        model, sched = small_setup
+        ds = synthetic_dataset(n=24)
+        opt = optax.adamw(1e-3)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 10, 12)),
+            jnp.zeros((1,), jnp.int32), jnp.asarray(ds.data["wav"][:1]),
+            train=False)
+
+        def fresh():
+            p = jax.tree.map(jnp.copy, variables["params"])
+            return TrainState(p, jax.tree.map(jnp.copy, variables["batch_stats"]),
+                              init_opt_state(opt, p), jnp.asarray(0, jnp.int32))
+
+        key = jax.random.key(5)
+        batches = [{k: jnp.asarray(v[i * 8:(i + 1) * 8])
+                    for k, v in ds.data.items()} for i in range(3)]
+
+        single = make_train_step(model, sched, opt, None)
+        s = fresh()
+        for b in batches:
+            s, m_single = single(s, b, key)
+
+        multi = make_train_multi_step(model, sched, opt, None)
+        stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+        s2, m_multi = multi(fresh(), stacked, key)
+
+        assert m_multi["loss"].shape == (3,)
+        np.testing.assert_allclose(
+            np.asarray(m_multi["loss"][-1]), np.asarray(m_single["loss"]),
+            rtol=1e-2)
+        for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3)
+        assert int(s2.step) == 3
+
+    def test_trainer_steps_per_call(self, small_setup, tmp_path):
+        """Trainer(steps_per_call=2) trains and logs per-step records,
+        including the odd tail batch through the single-step path."""
+        model, sched = small_setup
+        trainer = _make_trainer(model, sched, tmp_path / "spc",
+                                log_step_gap=1, batch_size=8,
+                                steps_per_call=3)
+        trainer.train(max_epochs=2)          # 4 batches/epoch at batch 8:
+        # one 3-step scan + a 1-batch tail through the single-step path
+        recs = [r for r in trainer.logger.read_all() if "train/loss" in r]
+        assert len(recs) == 8
+        assert [r["train/step"] for r in recs] == list(range(8))
+        assert all(np.isfinite(r["train/loss"]) for r in recs)
 
 
 class TestBatchStatsSharding:
