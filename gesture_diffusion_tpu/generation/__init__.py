@@ -1,3 +1,3 @@
-from .generator import Generator
+from .generator import Generator, GestureStream
 
-__all__ = ["Generator"]
+__all__ = ["Generator", "GestureStream"]

@@ -249,8 +249,14 @@ class Trainer:
             model, sched, optimizer, self.loss_params,
             grad_norm_clip_value, grad_clip_value)
         # steps_per_call > 1: scan K steps inside one program (per-dispatch
-        # overhead paid once per K; bit-identical to K single steps)
+        # overhead paid once per K; same numerics as K single steps)
         self.steps_per_call = max(1, int(steps_per_call))
+        if self.steps_per_call > 1 and jax.process_count() > 1:
+            # the K-stack is assembled host-locally then device_put with a
+            # global sharding — correct only single-host; multihost would
+            # need make_array_from_single_device_arrays over the stack
+            raise NotImplementedError(
+                "steps_per_call > 1 is single-host only for now")
         self._train_multi = (make_train_multi_step(
             model, sched, optimizer, self.loss_params,
             grad_norm_clip_value, grad_clip_value)
