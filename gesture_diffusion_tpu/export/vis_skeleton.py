@@ -130,6 +130,67 @@ def make_skeleton_video(
     return output_path
 
 
+def _position_columns(track):
+    cols = {name: i for i, name in enumerate(track.column_names)}
+
+    def at(joint: str, axis: str, frame: int) -> float:
+        return float(track.values[frame, cols[f"{joint}_{axis}position"]])
+
+    return at
+
+
+def draw_stickfigure(track, frame: int, joints=None, draw_names: bool = False,
+                     ax=None, figsize=(8, 8)):
+    """2-D stick figure of one frame of a POSITION-parameterised
+    ``BvhData`` track (``MocapParameterizer('position')`` output) — the
+    reference's notebook helper ``pymo/viz_tools.py:13-47``."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(111)
+    joints_to_draw = list(joints) if joints is not None else list(track.joints)
+    at = _position_columns(track)
+    for joint in joints_to_draw:
+        x, y = at(joint, "X", frame), at(joint, "Y", frame)
+        ax.scatter(x=x, y=y, alpha=0.6, c="b", marker="o")
+        for c in track.joints[joint].children:
+            if c in joints_to_draw:
+                ax.plot([x, at(c, "X", frame)], [y, at(c, "Y", frame)],
+                        "k-", lw=2)
+        if draw_names:
+            ax.annotate(joint, (x + 0.1, y + 0.1))
+    return ax
+
+
+def draw_stickfigure3d(track, frame: int, joints=None,
+                       draw_names: bool = False, ax=None, figsize=(8, 8)):
+    """3-D variant (``pymo/viz_tools.py:49-87``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(111, projection="3d")
+    joints_to_draw = list(joints) if joints is not None else list(track.joints)
+    at = _position_columns(track)
+    for joint in joints_to_draw:
+        x, y, z = (at(joint, a, frame) for a in "XYZ")
+        ax.scatter(xs=x, ys=z, zs=y, alpha=0.6, c="b", marker="o")
+        for c in track.joints[joint].children:
+            if c in joints_to_draw:
+                ax.plot([x, at(c, "X", frame)], [z, at(c, "Z", frame)],
+                        [y, at(c, "Y", frame)], "k-", lw=2)
+        if draw_names:
+            ax.text(x, z, y, joint)
+    return ax
+
+
 def visualize_sample_skeleton(
     sample_path: str,
     hierarchy_path: str,

@@ -257,3 +257,40 @@ def test_skeleton_video_frames_are_distinct(tmp_path):
         payloads.add(blob[at + 8:at + 8 + size])
         at = blob.find(b"00dc", at + 8 + size)
     assert len(payloads) >= 2, "all video frames identical (buffer aliasing)"
+
+
+class TestStickFigures:
+    """Notebook-style stick-figure helpers (pymo/viz_tools.py:13-87)."""
+
+    def test_draw_stickfigure_2d_and_3d(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from gesture_diffusion_tpu.data import mocap_transforms as mt
+        from gesture_diffusion_tpu.data.bvh import parse_bvh
+        from gesture_diffusion_tpu.export.vis_skeleton import (
+            draw_stickfigure,
+            draw_stickfigure3d,
+        )
+
+        gold = os.path.join(os.path.dirname(__file__), "golden",
+                            "synth_fullbody.bvh")
+        track = parse_bvh(gold)
+        pos = mt.MocapParameterizer("position").fit(0).transform([track])[0]
+
+        ax = draw_stickfigure(pos, frame=0, draw_names=True)
+        # one scatter per joint; at least one bone line drawn
+        assert len(ax.collections) == len(pos.joints)
+        assert len(ax.lines) > 0
+        plt.close(ax.figure)
+
+        ax3 = draw_stickfigure3d(pos, frame=1)
+        assert len(ax3.collections) == len(pos.joints)
+        plt.close(ax3.figure)
+
+        # joint subset draws only those joints and only internal bones
+        subset = [pos.root_name] + pos.joints[pos.root_name].children[:1]
+        ax = draw_stickfigure(pos, frame=0, joints=subset)
+        assert len(ax.collections) == len(subset)
+        plt.close(ax.figure)
