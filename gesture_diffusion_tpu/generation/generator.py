@@ -671,6 +671,7 @@ class GestureStream:
         self._buf.append(chunk)
         self._received += chunk.shape[-1]
         self._dispatch_ready()
+        self._compact()
         out = []
         # a popped window is final only if it is the stream's last — which
         # we can't know until flush; so keep >=1 window pending here

@@ -98,6 +98,25 @@ class TestStreamEqualsOffline:
         assert out.shape == (2, 2 * FPS, D_POSE)
         np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
+    def test_buffer_stays_bounded(self, gen):
+        """A long-running stream must hold O(window) audio, not O(stream)
+        (GestureStream._compact): regression for the un-called compaction."""
+        wav = _long_wav(6, seed=8)
+        stream = gen.stream(SR, D_POSE, FPS, T_POSE, SEED_LEN,
+                            rng=jax.random.key(42), max_in_flight=2)
+        chunks = []
+        max_buffered = 0
+        for i in range(0, wav.shape[-1], 1000):
+            chunks.extend(stream.push(wav[:, i:i + 1000]))
+            max_buffered = max(
+                max_buffered, sum(c.shape[-1] for c in stream._buf))
+        chunks.extend(stream.flush())
+        # bound: one full window of look-back plus one push chunk of slack
+        assert max_buffered <= stream.wav_window_len + 1000
+        ref = _offline(gen, wav)
+        np.testing.assert_allclose(
+            np.concatenate(chunks, axis=1), np.asarray(ref), atol=1e-5)
+
     def test_incremental_emission(self, gen):
         """Chunks must come out DURING streaming (pipelined), not all at
         flush."""
