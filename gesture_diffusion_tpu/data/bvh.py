@@ -95,6 +95,12 @@ def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
                 m_idx = cand
                 break
             search = cand + 1
+        if m_idx < 0 and re.search(rb"(?m)^[ \t]*MOTION\b", raw):
+            # a line-initial MOTION keyword exists but no Frames header
+            # follows anywhere: a malformed motion section must raise (as
+            # the pre-fallback parser did), not silently degrade to a
+            # 0-frame hierarchy-only parse
+            raise ValueError("malformed MOTION header")
     tokens = _TOKEN.findall(
         (raw[:m_idx] if m_idx >= 0 else raw).decode())
     pos = 0

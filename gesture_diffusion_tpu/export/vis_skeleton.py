@@ -143,10 +143,11 @@ def draw_stickfigure(track, frame: int, joints=None, draw_names: bool = False,
                      ax=None, figsize=(8, 8)):
     """2-D stick figure of one frame of a POSITION-parameterised
     ``BvhData`` track (``MocapParameterizer('position')`` output) — the
-    reference's notebook helper ``pymo/viz_tools.py:13-47``."""
-    import matplotlib
+    reference's notebook helper ``pymo/viz_tools.py:13-47``.
 
-    matplotlib.use("Agg")
+    No backend is forced (unlike the headless exporters above): these
+    helpers return an axes for interactive/notebook display, and a global
+    ``matplotlib.use("Agg")`` would kill inline rendering."""
     import matplotlib.pyplot as plt
 
     if ax is None:
@@ -168,10 +169,8 @@ def draw_stickfigure(track, frame: int, joints=None, draw_names: bool = False,
 
 def draw_stickfigure3d(track, frame: int, joints=None,
                        draw_names: bool = False, ax=None, figsize=(8, 8)):
-    """3-D variant (``pymo/viz_tools.py:49-87``)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
+    """3-D variant (``pymo/viz_tools.py:49-87``); backend untouched, see
+    ``draw_stickfigure``."""
     import matplotlib.pyplot as plt
 
     if ax is None:

@@ -23,7 +23,7 @@ All layouts are (N, T, C).
 from __future__ import annotations
 
 import time
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,25 @@ import numpy as np
 from ..diffusion import bpd_loop, ddim_sample_loop, ddpm_sample_loop
 from ..diffusion.gaussian import Schedule
 from ..models.denoiser import GestureDenoiser
+
+
+def window_plan(wav_len: int, wav_sr: int, pose_fps: int,
+                pose_window_len: int, pose_seed_len: int) -> Tuple[int, int]:
+    """(seq_len, num_div) of the overlapped-window generation plan for
+    ``wav_len`` audio samples — the single source of truth shared by
+    ``generate_sequence`` and ``GestureStream`` (the two previously carried
+    separate copies and drifted).  Output length truncates to whole seconds
+    of audio, bug-compat with the reference (generator.py:96-104).
+
+    ``num_div`` is non-decreasing in ``wav_len`` (the ``-1`` correction
+    exactly cancels a ceil bump), which GestureStream relies on to dispatch
+    windows before the stream's total length is known."""
+    seq_len = wav_len // wav_sr * pose_fps
+    stride = pose_window_len - pose_seed_len
+    num_div = int(np.ceil(seq_len / stride))
+    if (seq_len - pose_seed_len) % stride == 0:
+        num_div -= 1
+    return seq_len, num_div
 
 
 def make_trans_ramp(trans_factor: Optional[float], pose_seed_len: int,
@@ -356,11 +375,9 @@ class Generator:
         continuation (generator.py:80-195)."""
         assert wav_seqs.ndim == 2
         n_seq, wav_seq_len = wav_seqs.shape
-        seq_len = wav_seq_len // wav_sr * pose_fps
+        seq_len, num_div = window_plan(wav_seq_len, wav_sr, pose_fps,
+                                       pose_window_len, pose_seed_len)
         stride = pose_window_len - pose_seed_len
-        num_div = int(np.ceil(seq_len / stride))
-        if (seq_len - pose_seed_len) % stride == 0:
-            num_div -= 1
         wav_window_len = int(wav_sr * pose_window_len / pose_fps)
 
         outs = []
@@ -593,7 +610,15 @@ class GestureStream:
             wav_start = int(d * self.stride / self.pose_fps * self.wav_sr)
             wav_end = wav_start + self.wav_window_len
             if final_len is None:
-                if wav_end > self._received:
+                # dispatch only windows that are certainly in the FINAL
+                # plan: the offline plan truncates to whole seconds of
+                # audio, so a window whose samples have all arrived may
+                # still be beyond it if the stream ends mid-second.
+                # num_div is non-decreasing in wav_len (window_plan), so
+                # the plan for the audio received so far is a safe lower
+                # bound on the final plan.
+                if (wav_end > self._received
+                        or d >= self._num_divisions(self._received)):
                     return
             else:
                 if d >= self._num_divisions(final_len):
@@ -628,11 +653,8 @@ class GestureStream:
             self._next_div += 1
 
     def _num_divisions(self, wav_len: int) -> int:
-        seq_len = wav_len // self.wav_sr * self.pose_fps
-        num_div = int(np.ceil(seq_len / self.stride))
-        if (seq_len - self.seed_len) % self.stride == 0:
-            num_div -= 1
-        return num_div
+        return window_plan(wav_len, self.wav_sr, self.pose_fps,
+                           self.window_len, self.seed_len)[1]
 
     def _crossfade(self, x: np.ndarray) -> np.ndarray:
         if self.smooth_trans and self._emitted_idx > 0:
@@ -650,7 +672,10 @@ class GestureStream:
         self._prev_np = raw
         self._emitted_idx += 1
         if final:
-            chunk = x[:, : seq_len - self._emitted_frames]
+            # the plan guarantees 1 <= remaining <= window_len; the clamp
+            # turns a latent planning bug into an empty chunk, not frames
+            # the offline path would never emit
+            chunk = x[:, : max(0, seq_len - self._emitted_frames)]
         else:
             chunk = x[:, : self.stride]
         self._emitted_frames += chunk.shape[1]
@@ -686,7 +711,8 @@ class GestureStream:
         assert not self._finished, "stream already flushed"
         self._finished = True
         self._dispatch_ready(final_len=self._received)
-        seq_len = self._received // self.wav_sr * self.pose_fps
+        seq_len = window_plan(self._received, self.wav_sr, self.pose_fps,
+                              self.window_len, self.seed_len)[0]
         out = []
         while self._in_flight:
             out.append(self._emit(final=not self._in_flight[1:],

@@ -158,10 +158,13 @@ def make_train_multi_step(
     leading steps axis of stacked batches ({"pose": (K, N, T, C), "wav":
     (K, N, T_wav)}) with the state as donated carry.
 
-    Bit-identical to K successive ``make_train_step`` calls with the same
-    ``rng`` (the per-step stream is derived by folding ``state.step`` into
-    the rng inside the body), but pays the per-program dispatch/launch
-    cost once per K steps instead of per step — measured ~22 ms/step of
+    Numerically equivalent to K successive ``make_train_step`` calls with
+    the same ``rng``: the per-step RNG stream is identical by construction
+    (``state.step`` is folded into the rng inside the body), but the two
+    programs compile conv gradients with different reduction orders, so
+    params agree to float noise (~1e-4 after Adam's g/sqrt(v), see
+    tests/test_training.py::TestMultiStep) — NOT bit-exactly.  Pays the
+    per-program dispatch/launch cost once per K steps instead of per step — measured ~22 ms/step of
     non-compute overhead on the tunnel-attached dev chip (PERF.md round 3).
     Returns (state, metrics) with each metric stacked to (K,).
     """

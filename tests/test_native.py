@@ -77,3 +77,29 @@ def test_bvh_indented_motion_line():
             "  MOTION\nFrames: 2\nFrame Time: 0.05\n1 2 3\n4 5 6\n")
     d = parse_bvh(text, is_text=True)
     assert d.values.shape == (2, 3)
+
+
+def test_bvh_malformed_motion_raises():
+    """A line-initial MOTION keyword with no Frames header anywhere must
+    raise, not silently degrade to a 0-frame hierarchy-only parse (review
+    finding on the Frames-validating fallback)."""
+    from gesture_diffusion_tpu.data.bvh import parse_bvh
+
+    text = ("HIERARCHY\nROOT Hips\n{\n\tOFFSET 0 0 0\n"
+            "\tCHANNELS 3 Zrotation Xrotation Yrotation\n"
+            "\tEnd Site\n\t{\n\t\tOFFSET 0 1 0\n\t}\n}\n"
+            "MOTION FrameCount: 2\nFrame Time: 0.05\n1 2 3\n4 5 6\n")
+    with pytest.raises(ValueError, match="malformed MOTION header"):
+        parse_bvh(text, is_text=True)
+
+
+def test_bvh_hierarchy_only_still_parses():
+    """No MOTION section at all (template/hierarchy-only file) stays a
+    valid 0-frame parse."""
+    from gesture_diffusion_tpu.data.bvh import parse_bvh
+
+    text = ("HIERARCHY\nROOT Hips\n{\n\tOFFSET 0 0 0\n"
+            "\tCHANNELS 3 Zrotation Xrotation Yrotation\n"
+            "\tEnd Site\n\t{\n\t\tOFFSET 0 1 0\n\t}\n}\n")
+    d = parse_bvh(text, is_text=True)
+    assert d.values.shape[0] == 0

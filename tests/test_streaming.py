@@ -98,6 +98,19 @@ class TestStreamEqualsOffline:
         assert out.shape == (2, 2 * FPS, D_POSE)
         np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
+    def test_fractional_second_audio(self, gen):
+        """Total audio that is NOT a whole number of seconds: the offline
+        plan truncates output to whole seconds (window_plan), and eager
+        dispatch must not issue windows beyond that plan.  Regression for
+        streamed (1, 30, C) vs offline (1, 20, C) on 1.9 s of audio."""
+        for seconds in (1.9, 2.3, 3.05):
+            wav = np.random.default_rng(11).normal(
+                0, 0.3, (1, int(SR * seconds))).astype(np.float32)
+            ref = _offline(gen, wav)
+            out = _streamed(gen, wav, chunk=2000)
+            assert out.shape == np.asarray(ref).shape
+            np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
     def test_buffer_stays_bounded(self, gen):
         """A long-running stream must hold O(window) audio, not O(stream)
         (GestureStream._compact): regression for the un-called compaction."""
@@ -111,8 +124,10 @@ class TestStreamEqualsOffline:
             max_buffered = max(
                 max_buffered, sum(c.shape[-1] for c in stream._buf))
         chunks.extend(stream.flush())
-        # bound: one full window of look-back plus one push chunk of slack
-        assert max_buffered <= stream.wav_window_len + 1000
+        # bound: one window of look-back, plus up to one second of
+        # plan-confirmation lag (dispatch waits for the whole-second
+        # window plan to include a window), plus one push chunk of slack
+        assert max_buffered <= stream.wav_window_len + SR + 1000
         ref = _offline(gen, wav)
         np.testing.assert_allclose(
             np.concatenate(chunks, axis=1), np.asarray(ref), atol=1e-5)
