@@ -42,15 +42,33 @@ def window_plan(wav_len: int, wav_sr: int, pose_fps: int,
     separate copies and drifted).  Output length truncates to whole seconds
     of audio, bug-compat with the reference (generator.py:96-104).
 
-    ``num_div`` is non-decreasing in ``wav_len`` (the ``-1`` correction
-    exactly cancels a ceil bump), which GestureStream relies on to dispatch
-    windows before the stream's total length is known."""
+    NOTE ``num_div`` is NOT monotone in ``wav_len``: the ``-1`` correction
+    can make the plan shrink as audio grows (e.g. fps=20, window=60,
+    seed=25: 2 s of audio plans 2 windows, 3 s plans 1).  GestureStream may
+    therefore dispatch window ``d`` early ONLY when BOTH (a) ``d`` is in
+    the plan for the audio received so far AND (b) the window's audio has
+    fully arrived — (b) implies the stream's final plan includes ``d``
+    whenever (a) held at dispatch time (the shrink points lie before the
+    window's own end), so neither check alone is sufficient."""
+    assert pose_seed_len < pose_window_len, (
+        "pose_seed_len must be < pose_window_len (stride would be <= 0)")
     seq_len = wav_len // wav_sr * pose_fps
     stride = pose_window_len - pose_seed_len
     num_div = int(np.ceil(seq_len / stride))
     if (seq_len - pose_seed_len) % stride == 0:
         num_div -= 1
     return seq_len, num_div
+
+
+def crossfade_head(x: np.ndarray, prev_tail: np.ndarray,
+                   seed_len: int) -> np.ndarray:
+    """Linear blend of a window's first ``seed_len`` frames with the
+    previous window's raw tail (reference generator.py:171-183) — shared
+    by ``generate_sequence`` and ``GestureStream`` so their bit-equality
+    cannot drift (same hazard class window_plan closes)."""
+    ratio = (np.arange(seed_len, dtype=np.float32) / seed_len)[None, :, None]
+    head = x[:, :seed_len] * ratio + prev_tail * (1.0 - ratio)
+    return np.concatenate([head, x[:, seed_len:]], axis=1)
 
 
 def make_trans_ramp(trans_factor: Optional[float], pose_seed_len: int,
@@ -420,11 +438,8 @@ class Generator:
             combined = []
             for i, x in enumerate(samples):
                 if smooth_trans and i > 0:
-                    ratio = np.arange(pose_seed_len, dtype=np.float32)[
-                        None, :, None] / pose_seed_len
-                    trans_x = (x[:, :pose_seed_len] * ratio
-                               + samples[i - 1][:, -pose_seed_len:] * (1.0 - ratio))
-                    x = np.concatenate([trans_x, x[:, pose_seed_len:]], axis=1)
+                    x = crossfade_head(
+                        x, samples[i - 1][:, -pose_seed_len:], pose_seed_len)
                 combined.append(x[:, :-pose_seed_len] if i < len(samples) - 1 else x)
             outs.append(np.concatenate(combined, axis=1)[:, :seq_len])
         return np.concatenate(outs, axis=0)
@@ -610,13 +625,13 @@ class GestureStream:
             wav_start = int(d * self.stride / self.pose_fps * self.wav_sr)
             wav_end = wav_start + self.wav_window_len
             if final_len is None:
-                # dispatch only windows that are certainly in the FINAL
-                # plan: the offline plan truncates to whole seconds of
-                # audio, so a window whose samples have all arrived may
-                # still be beyond it if the stream ends mid-second.
-                # num_div is non-decreasing in wav_len (window_plan), so
-                # the plan for the audio received so far is a safe lower
-                # bound on the final plan.
+                # dispatch only windows certainly in the FINAL plan.  Both
+                # checks are required (see window_plan's docstring): the
+                # plan membership alone is unsafe because num_div can
+                # SHRINK as audio grows, and audio-arrival alone is unsafe
+                # because the plan truncates to whole seconds — together,
+                # a fully-arrived window that is in today's plan stays in
+                # every future plan.
                 if (wav_end > self._received
                         or d >= self._num_divisions(self._received)):
                     return
@@ -659,9 +674,7 @@ class GestureStream:
     def _crossfade(self, x: np.ndarray) -> np.ndarray:
         if self.smooth_trans and self._emitted_idx > 0:
             s = self.seed_len
-            ratio = (np.arange(s, dtype=np.float32) / s)[None, :, None]
-            head = x[:, :s] * ratio + self._prev_np[:, -s:] * (1.0 - ratio)
-            x = np.concatenate([head, x[:, s:]], axis=1)
+            x = crossfade_head(x, self._prev_np[:, -s:], s)
         return x
 
     def _emit(self, final: bool, seq_len: Optional[int] = None):

@@ -132,6 +132,47 @@ class TestStreamEqualsOffline:
         np.testing.assert_allclose(
             np.concatenate(chunks, axis=1), np.asarray(ref), atol=1e-5)
 
+    def test_nonmonotone_plan_config(self):
+        """window_plan is NOT monotone in wav_len when stride > fps (the
+        -1 correction shrinks the plan as audio grows); stream dispatch
+        must still match offline.  fps=4, window=12, seed=5 -> stride 7:
+        2 s of audio plans 2 windows, 3 s plans 1."""
+        from gesture_diffusion_tpu.generation.generator import window_plan
+        assert window_plan(2 * SR, SR, 4, 12, 5) == (8, 2)
+        assert window_plan(3 * SR, SR, 4, 12, 5) == (12, 1)   # shrank
+
+        fps, t_pose, seed_len = 4, 12, 5
+        wav_window = SR * t_pose // fps
+        cfg = DenoiserConfig(d_pose=D_POSE, d_model=32, heads=4, n_layers=1)
+        model = GestureDenoiser(cfg)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, t_pose, D_POSE)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, wav_window)),
+            train=False)
+        sched, tmap = respaced_schedule(
+            linear_betas(100), space_timesteps(100, "ddim5"))
+        g = Generator(model, variables, sched, jnp.asarray(tmap))
+        for seconds in (2, 3):
+            wav = _long_wav(seconds, seed=20 + seconds)
+            ref = g.generate_sequence(
+                jnp.asarray(wav), SR, D_POSE, fps, t_pose, seed_len,
+                rng=jax.random.key(42))
+            stream = g.stream(SR, D_POSE, fps, t_pose, seed_len,
+                              rng=jax.random.key(42))
+            chunks = []
+            for i in range(0, wav.shape[-1], 5000):
+                chunks.extend(stream.push(wav[:, i:i + 5000]))
+            chunks.extend(stream.flush())
+            out = np.concatenate(chunks, axis=1)
+            assert out.shape == np.asarray(ref).shape == (
+                1, seconds * fps, D_POSE)
+            np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+    def test_seed_ge_window_rejected(self):
+        from gesture_diffusion_tpu.generation.generator import window_plan
+        with pytest.raises(AssertionError):
+            window_plan(SR, SR, FPS, T_POSE, T_POSE)
+
     def test_incremental_emission(self, gen):
         """Chunks must come out DURING streaming (pipelined), not all at
         flush."""
