@@ -54,9 +54,22 @@ def window_plan(wav_len: int, wav_sr: int, pose_fps: int,
         "pose_seed_len must be < pose_window_len (stride would be <= 0)")
     seq_len = wav_len // wav_sr * pose_fps
     stride = pose_window_len - pose_seed_len
+    if seq_len == 0:
+        # sub-second audio truncates to zero output frames: an empty plan,
+        # NOT a crash (the reference's th.cat([]) dies here; documented
+        # deviation so offline and streaming agree on 'emit nothing')
+        return 0, 0
     num_div = int(np.ceil(seq_len / stride))
     if (seq_len - pose_seed_len) % stride == 0:
         num_div -= 1
+    if num_div <= 0:
+        # only when 0 < seq_len <= stride and seq_len == seed (mod stride):
+        # the reference plans zero windows yet owes seq_len frames and then
+        # crashes in th.cat([]); fail loudly and identically on both paths
+        raise ValueError(
+            f"audio too short for the window plan: {seq_len} output frames "
+            f"but 0 windows (window={pose_window_len}, seed={pose_seed_len}"
+            f", fps={pose_fps}); provide at least one more second of audio")
     return seq_len, num_div
 
 
@@ -395,6 +408,10 @@ class Generator:
         n_seq, wav_seq_len = wav_seqs.shape
         seq_len, num_div = window_plan(wav_seq_len, wav_sr, pose_fps,
                                        pose_window_len, pose_seed_len)
+        if num_div == 0:
+            # sub-second audio: empty plan -> empty output (matches what
+            # GestureStream emits for the same audio; window_plan docs)
+            return np.zeros((n_seq, 0, pose_dim), np.float32)
         stride = pose_window_len - pose_seed_len
         wav_window_len = int(wav_sr * pose_window_len / pose_fps)
 
@@ -632,8 +649,15 @@ class GestureStream:
                 # because the plan truncates to whole seconds — together,
                 # a fully-arrived window that is in today's plan stays in
                 # every future plan.
-                if (wav_end > self._received
-                        or d >= self._num_divisions(self._received)):
+                # a degenerate plan on the PARTIAL audio (window_plan
+                # raises when it owes frames but plans no window) just
+                # means nothing can be confirmed yet — more audio may
+                # arrive; only the final plan may propagate that error
+                try:
+                    confirmed = self._num_divisions(self._received)
+                except ValueError:
+                    confirmed = 0
+                if wav_end > self._received or d >= confirmed:
                     return
             else:
                 if d >= self._num_divisions(final_len):

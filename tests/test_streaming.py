@@ -173,6 +173,71 @@ class TestStreamEqualsOffline:
         with pytest.raises(AssertionError):
             window_plan(SR, SR, FPS, T_POSE, T_POSE)
 
+    def test_sub_second_audio_empty_output(self, gen):
+        """<1 s of audio truncates to zero output frames: offline returns
+        an empty (N, 0, C) array and the stream emits no chunks — the two
+        paths must agree instead of the reference's th.cat([]) crash
+        (documented deviation, window_plan docstring)."""
+        from gesture_diffusion_tpu.generation.generator import window_plan
+        assert window_plan(SR - 1, SR, FPS, T_POSE, SEED_LEN) == (0, 0)
+        wav = np.random.default_rng(9).normal(
+            0, 0.3, (1, SR // 2)).astype(np.float32)
+        out = _offline(gen, wav)
+        assert np.asarray(out).shape == (1, 0, D_POSE)
+        stream = gen.stream(SR, D_POSE, FPS, T_POSE, SEED_LEN,
+                            rng=jax.random.key(42))
+        chunks = stream.push(wav) + stream.flush()
+        assert chunks == []
+
+    def test_degenerate_plan_raises_consistently(self, gen):
+        """seq_len > 0 but zero planned windows (seq_len == seed mod
+        stride, seq_len <= stride — the reference plans no window yet owes
+        frames and dies in th.cat([])): both paths raise the same clear
+        ValueError."""
+        from gesture_diffusion_tpu.generation.generator import window_plan
+        fps, t_pose, seed_len = 5, 12, 5        # stride 7; 1 s -> seq 5
+        with pytest.raises(ValueError, match="audio too short"):
+            window_plan(SR, SR, fps, t_pose, seed_len)
+        wav = np.random.default_rng(10).normal(
+            0, 0.3, (1, SR)).astype(np.float32)
+        with pytest.raises(ValueError, match="audio too short"):
+            gen.generate_sequence(jnp.asarray(wav), SR, D_POSE, fps,
+                                  t_pose, seed_len, rng=jax.random.key(0))
+        stream = gen.stream(SR, D_POSE, fps, t_pose, seed_len,
+                            rng=jax.random.key(0))
+        assert stream.push(wav) == []           # transient: no crash
+        with pytest.raises(ValueError, match="audio too short"):
+            stream.flush()
+
+    def test_transient_degenerate_plan_recovers(self):
+        """A stream whose PARTIAL audio passes through the degenerate
+        plan length (1 s at fps=5, window=12, seed=5 -> 5 frames, 0
+        windows) must not crash mid-push and must still match offline
+        once enough audio arrives."""
+        fps, t_pose, seed_len = 5, 12, 5
+        wav_window = SR * t_pose // fps
+        cfg = DenoiserConfig(d_pose=D_POSE, d_model=32, heads=4, n_layers=1)
+        model = GestureDenoiser(cfg)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, t_pose, D_POSE)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, wav_window)),
+            train=False)
+        sched, tmap = respaced_schedule(
+            linear_betas(100), space_timesteps(100, "ddim5"))
+        g = Generator(model, variables, sched, jnp.asarray(tmap))
+        wav = _long_wav(3, seed=12)
+        ref = g.generate_sequence(jnp.asarray(wav), SR, D_POSE, fps,
+                                  t_pose, seed_len, rng=jax.random.key(42))
+        stream = g.stream(SR, D_POSE, fps, t_pose, seed_len,
+                          rng=jax.random.key(42))
+        chunks = []
+        for i in range(0, wav.shape[-1], SR):   # 1-second pushes
+            chunks.extend(stream.push(wav[:, i:i + SR]))
+        chunks.extend(stream.flush())
+        out = np.concatenate(chunks, axis=1)
+        assert out.shape == np.asarray(ref).shape == (1, 3 * fps, D_POSE)
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
     def test_incremental_emission(self, gen):
         """Chunks must come out DURING streaming (pipelined), not all at
         flush."""
