@@ -18,7 +18,7 @@ import glob
 import json
 import os
 import pickle
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -48,10 +48,13 @@ def load_wav(path: str, target_sr: int) -> np.ndarray:
 
     sr, data = wavfile.read(path)
     if data.dtype.kind == "i":
-        data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+        # librosa (util.buf_to_float) scales by 2**(bits-1) = 32768 for
+        # int16, NOT iinfo.max = 32767: int16 min maps to exactly -1.0
+        data = data.astype(np.float32) / float(2 ** (8 * data.dtype.itemsize - 1))
     elif data.dtype.kind == "u":
-        info = np.iinfo(data.dtype)
-        data = (data.astype(np.float32) - info.max / 2) / (info.max / 2)
+        # unsigned PCM is centered on 2**(bits-1) (128 for u8)
+        half = float(2 ** (8 * data.dtype.itemsize - 1))
+        data = (data.astype(np.float32) - half) / half
     else:
         data = data.astype(np.float32)
     if data.ndim == 2:
@@ -74,6 +77,45 @@ def load_from_face(facial_path: str, src_fps: int = 60, tgt_fps: int = 15):
     return arr, len(arr) / tgt_fps
 
 
+def _build_vocab(src_dir_path: str, human_ids: Sequence[int],
+                 word_vec_path: Optional[str], spt_dir_path: str) -> Vocab:
+    """Index every TextGrid word for the given speakers and pickle the
+    vocab (shared by both split variants; ``data_utils.py:232-247``)."""
+    vocab = Vocab("word")
+    vocab.load_word_vectors(word_vec_path)
+    for hid in human_ids:
+        for tg_path in sorted(glob.glob(
+                os.path.join(src_dir_path, str(hid), "*.TextGrid"))):
+            for iv in read_textgrid(tg_path)[0]:
+                if iv.mark:
+                    vocab.index_word(iv.mark)
+    with open(os.path.join(spt_dir_path, "vocab.pkl"), "wb") as f:
+        pickle.dump(vocab, f)
+    return vocab
+
+
+def _require_modalities(bvh_path: str) -> Tuple[str, str]:
+    """(wav_path, tg_path) next to a .bvh; FileNotFoundError if absent."""
+    wav_path = bvh_path[:-4] + ".wav"
+    tg_path = bvh_path[:-4] + ".TextGrid"
+    for p, what in [(wav_path, "wav"), (tg_path, "TextGrid")]:
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"{what} file not found for {bvh_path}")
+    return wav_path, tg_path
+
+
+def _concat_split(lists: Dict[str, list], what: str) -> Dict[str, np.ndarray]:
+    """Concatenate per-recording sample lists; a clear error instead of
+    np.concatenate's 'need at least one array' when a split ended up with
+    no recordings (every file skip-logged, or no official-split match)."""
+    empty = [k for k, v in lists.items() if not v]
+    if empty:
+        raise ValueError(
+            f"no samples collected for {what} (keys {empty}): every matching "
+            "recording failed or none matched — see split_dataset.log")
+    return {k: np.concatenate(v, axis=0) for k, v in lists.items()}
+
+
 def split_dataset(
     src_dir_path: str,
     human_ids: Sequence[int],
@@ -93,16 +135,7 @@ def split_dataset(
     log_path = os.path.join(spt_dir_path, "split_dataset.log")
     log = open(log_path, "w")
 
-    # ---- vocab from all TextGrids ---------------------------------------
-    vocab = Vocab("word")
-    vocab.load_word_vectors(word_vec_path)
-    for hid in human_ids:
-        for tg_path in sorted(glob.glob(os.path.join(src_dir_path, str(hid), "*.TextGrid"))):
-            for iv in read_textgrid(tg_path)[0]:
-                if iv.mark:
-                    vocab.index_word(iv.mark)
-    with open(os.path.join(spt_dir_path, "vocab.pkl"), "wb") as f:
-        pickle.dump(vocab, f)
+    vocab = _build_vocab(src_dir_path, human_ids, word_vec_path, spt_dir_path)
 
     # ---- chunk every recording ------------------------------------------
     lists: Dict[str, list] = {"hid": [], "pose": [], "wav": [], "word_id": []}
@@ -114,12 +147,7 @@ def split_dataset(
             if any(tag in bvh_path for tag in UNSYNCABLE):
                 continue
             try:
-                wav_path = bvh_path[:-4] + ".wav"
-                tg_path = bvh_path[:-4] + ".TextGrid"
-                for p, what in [(wav_path, "wav"), (tg_path, "TextGrid")]:
-                    if not os.path.exists(p):
-                        raise FileNotFoundError(f"{what} file not found for {bvh_path}")
-
+                wav_path, tg_path = _require_modalities(bvh_path)
                 poses, pose_dur = load_from_bvh(bvh_path, joints, pose_fps)
                 wav = load_wav(wav_path, wav_sr)
                 wav_dur = len(wav) / wav_sr
@@ -155,7 +183,13 @@ def split_dataset(
                 word_ids = word_ids[: int(shorter * pose_fps)]
                 wav = wav[: int(shorter * wav_sr)]
                 if use_face:
-                    faces = faces[: int(shorter) * face_fps]
+                    # int(shorter * face_fps), NOT the reference's
+                    # int(shorter) * face_fps (data_utils.py floors the
+                    # SECONDS, under-allocating the face track for
+                    # fractional durations and crashing the window
+                    # gather below) — deviation: consistent with the
+                    # pose/wav truncation two lines up
+                    faces = faces[: int(shorter * face_fps)]
 
                 starts = np.arange(0, shorter, sample_duration)[:-1]
                 pw = int(sample_duration * pose_fps)
@@ -184,7 +218,7 @@ def split_dataset(
                 print(f"[Error] {msg} {bvh_path}", file=log)
     log.close()
 
-    data = {k: np.concatenate(v, axis=0) for k, v in lists.items()}
+    data = _concat_split(lists, "the dataset")
     _stratified_split_and_save(data, spt_dir_path, seed)
 
 
@@ -196,12 +230,15 @@ def _stratified_split_and_save(data: Dict[str, np.ndarray], spt_dir_path: str,
     keys = list(data)
     n = len(data["hid"])
     idx = np.arange(n)
-    strat = data["hid"] if len(np.unique(data["hid"])) > 1 else None
+    # ALWAYS stratify, exactly like the reference (data_utils.py:441-449):
+    # sklearn accepts a single-class stratify, and StratifiedShuffleSplit
+    # draws a DIFFERENT permutation than a plain shuffle at the same seed,
+    # so skipping stratification for one speaker changes split membership
     train_idx, rest_idx = train_test_split(
-        idx, test_size=0.2, shuffle=True, stratify=strat, random_state=seed)
-    strat_rest = data["hid"][rest_idx] if strat is not None else None
+        idx, test_size=0.2, shuffle=True, stratify=data["hid"],
+        random_state=seed)
     test_idx, val_idx = train_test_split(
-        rest_idx, test_size=0.5, shuffle=True, stratify=strat_rest,
+        rest_idx, test_size=0.5, shuffle=True, stratify=data["hid"][rest_idx],
         random_state=seed)
     for split, sel in [("train", train_idx), ("val", val_idx), ("test", test_idx)]:
         obj = {k: data[k][sel] for k in keys}
@@ -239,15 +276,7 @@ def split_dataset_official(
     os.makedirs(spt_dir_path, exist_ok=True)
     log = open(os.path.join(spt_dir_path, "split_dataset.log"), "w")
 
-    vocab = Vocab("word")
-    vocab.load_word_vectors(word_vec_path)
-    for hid in human_ids:
-        for tg_path in sorted(glob.glob(os.path.join(src_dir_path, str(hid), "*.TextGrid"))):
-            for iv in read_textgrid(tg_path)[0]:
-                if iv.mark:
-                    vocab.index_word(iv.mark)
-    with open(os.path.join(spt_dir_path, "vocab.pkl"), "wb") as f:
-        pickle.dump(vocab, f)
+    vocab = _build_vocab(src_dir_path, human_ids, word_vec_path, spt_dir_path)
 
     splits = {s: {"hid": [], "pose": [], "wav": [], "word_id": []}
               for s in ("train", "val", "test")}
@@ -258,12 +287,7 @@ def split_dataset_official(
         idx = OFFICIAL_SPLIT_4H
         for bvh_path in sorted(glob.glob(os.path.join(src_dir_path, str(hid), "*.bvh"))):
             try:
-                wav_path = bvh_path[:-4] + ".wav"
-                tg_path = bvh_path[:-4] + ".TextGrid"
-                for p, what in [(wav_path, "wav"), (tg_path, "TextGrid")]:
-                    if not os.path.exists(p):
-                        raise FileNotFoundError(f"{what} file not found")
-
+                wav_path, tg_path = _require_modalities(bvh_path)
                 poses, pose_dur = load_from_bvh(bvh_path, joints, pose_fps)
                 wav = load_wav(wav_path, wav_sr)
                 word_ids = np.zeros((len(poses),))
@@ -311,7 +335,7 @@ def split_dataset_official(
     log.close()
 
     for split, lists in splits.items():
-        obj = {k: np.concatenate(v, axis=0) for k, v in lists.items()}
+        obj = _concat_split(lists, f"split '{split}'")
         with open(os.path.join(spt_dir_path, f"{split}_samples.pkl"), "wb") as f:
             pickle.dump(obj, f)
 

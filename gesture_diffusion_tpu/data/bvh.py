@@ -218,7 +218,37 @@ def hierarchy_text(data: BvhData) -> str:
     return "\n".join(lines) + "\n"
 
 
+def hierarchy_channel_order(data: BvhData) -> List[Tuple[str, str]]:
+    """(joint, channel) pairs in hierarchy DFS file order — the column
+    order the MOTION block must use."""
+    order: List[Tuple[str, str]] = []
+
+    def walk(joint: BvhJoint) -> None:
+        if not joint.is_end_site:
+            order.extend((joint.name, c) for c in joint.channels)
+        for child in joint.children:
+            walk(data.joints[child])
+
+    walk(data.joints[data.root_name])
+    return order
+
+
 def write_bvh(data: BvhData, path: str, fmt: str = "%.6f") -> None:
+    """Columns are looked up BY NAME (reference ``pymo/writers.py:64-67``),
+    not positionally: transforms like RootTransformer inverse append
+    columns at the end of ``channel_names``, so dumping ``values`` as-is
+    would silently write them under the wrong hierarchy channels."""
     header = hierarchy_text(data)
     header += f"MOTION\nFrames: {data.n_frames}\nFrame Time: {data.framerate}\n"
-    np.savetxt(path, data.values, header=header, comments="", fmt=fmt)
+    file_order = hierarchy_channel_order(data)
+    if file_order == data.channel_names:
+        values = data.values
+    else:
+        col = {jc: i for i, jc in enumerate(data.channel_names)}
+        missing = [jc for jc in file_order if jc not in col]
+        if missing:
+            raise ValueError(
+                f"write_bvh: hierarchy declares channels absent from the "
+                f"motion data: {missing[:5]}{'...' if len(missing) > 5 else ''}")
+        values = data.values[:, [col[jc] for jc in file_order]]
+    np.savetxt(path, values, header=header, comments="", fmt=fmt)

@@ -59,12 +59,20 @@ def load_from_bvh(
 def resample_pose_seq(poses: np.ndarray, duration_in_sec: float,
                       tgt_fps: int) -> np.ndarray:
     """Linear resampling to tgt_fps (``data_utils.py:667-677`` semantics:
-    sample points ``arange(0, n, n/expected_n)`` with linear interp)."""
+    sample points ``arange(0, n, n/expected_n)``, linear interp with
+    LINEAR EXTRAPOLATION past the last frame — interp1d
+    ``fill_value="extrapolate"``: clamping ``idx0`` to ``n-2`` and letting
+    ``frac`` exceed 1 continues the last segment's slope, which clamping
+    at the last frame did not (tail frames were held flat whenever
+    ``expected_n`` does not divide ``n``)."""
     n = len(poses)
+    if n < 2:
+        raise ValueError(
+            f"resample_pose_seq needs >= 2 frames, got {n}")  # ref: interp1d raises too
     expected_n = duration_in_sec * tgt_fps
     x_new = np.arange(0, n, n / expected_n)
-    idx0 = np.clip(np.floor(x_new).astype(int), 0, n - 1)
-    idx1 = np.clip(idx0 + 1, 0, n - 1)
+    idx0 = np.clip(np.floor(x_new).astype(int), 0, n - 2)
+    idx1 = idx0 + 1
     frac = (x_new - idx0).astype(poses.dtype if hasattr(poses, "dtype") else np.float64)
     out = poses[idx0] * (1 - frac)[:, None] + poses[idx1] * frac[:, None]
     return out.astype(poses.dtype) if hasattr(poses, "dtype") else out
@@ -145,16 +153,26 @@ class WindowedDataset:
         scaler_path = os.path.join(dst_dir_path, "scaler.npz")
         legacy_scaler = os.path.join(dst_dir_path, "scaler.jl")
 
+        params = {"pose_window_len": pose_window_len,
+                  "pose_stride_len": pose_stride_len, "pose_fps": pose_fps,
+                  "wav_sr": wav_sr, "pose_representation": pose_representation}
         if os.path.exists(data_path) and (not keep_seqs or os.path.exists(seq_path)):
             with open(data_path, "rb") as f:
                 cached = pickle.load(f)
-            self.wavs, self.poses = cached["wav"], cached["pose"]
-            if keep_seqs:
-                with open(seq_path, "rb") as f:
-                    seqs = pickle.load(f)
-                self.hid_seqs, self.wav_seqs, self.pose_seqs = (
-                    seqs["hid"], seqs["wav"], seqs["pose"])
-            return
+            # a cache built with different window/fps/representation params
+            # must not be silently reused (it has the wrong shapes or, for
+            # a different representation of the same dim, wrong VALUES);
+            # param-less caches (reference-era pickles) are trusted as-is
+            if cached.get("params", params) == params:
+                self.wavs, self.poses = cached["wav"], cached["pose"]
+                if keep_seqs:
+                    with open(seq_path, "rb") as f:
+                        seqs = pickle.load(f)
+                    self.hid_seqs, self.wav_seqs, self.pose_seqs = (
+                        seqs["hid"], seqs["wav"], seqs["pose"])
+                return
+            print(f"[Warning] {data_path} was built with "
+                  f"{cached['params']} but {params} requested; rebuilding")
 
         os.makedirs(dst_dir_path, exist_ok=True)
         with open(samples_path, "rb") as f:
@@ -185,7 +203,8 @@ class WindowedDataset:
         self.poses, self.wavs = window_slice(
             poses, wavs, pose_window_len, pose_stride_len, pose_fps, wav_sr)
         with open(data_path, "wb") as f:
-            pickle.dump({"wav": self.wavs, "pose": self.poses}, f)
+            pickle.dump({"wav": self.wavs, "pose": self.poses,
+                         "params": params}, f)
 
     # -- reference API ------------------------------------------------------
     def __len__(self):

@@ -97,6 +97,32 @@ class TestBvhParser:
         np.testing.assert_allclose(
             again.joints["LeftArm"].offset, data.joints["LeftArm"].offset)
 
+    def test_write_bvh_reordered_columns_written_by_name(self, tmp_path):
+        """Columns must be looked up by (joint, channel) name, not
+        position: transforms (e.g. RootTransformer inverse) append columns
+        at the END of channel_names, and a positional dump silently wrote
+        them under the wrong hierarchy channels (pymo writers.py:64-67
+        indexes by name)."""
+        text, _ = toy_bvh_with_motion()
+        data = parse_bvh(text, is_text=True)
+        perm = np.roll(np.arange(len(data.channel_names)), 4)
+        shuffled = data.clone()
+        shuffled.values = data.values[:, perm]
+        shuffled.channel_names = [data.channel_names[i] for i in perm]
+        p = str(tmp_path / "reordered.bvh")
+        write_bvh(shuffled, p)
+        again = parse_bvh(p)
+        assert again.channel_names == data.channel_names  # file order
+        np.testing.assert_allclose(again.values, data.values, atol=1e-6)
+
+    def test_write_bvh_missing_channel_raises(self, tmp_path):
+        text, _ = toy_bvh_with_motion()
+        data = parse_bvh(text, is_text=True)
+        data.values = data.values[:, 1:]
+        data.channel_names = data.channel_names[1:]
+        with pytest.raises(ValueError, match="absent from the motion"):
+            write_bvh(data, str(tmp_path / "broken.bvh"))
+
     def test_parses_reference_hierarchy_assets(self):
         for name, n_joints in [("hierarchy_upper.txt", 62), ("hierarchy.txt", 88)]:
             data = parse_bvh(os.path.join(REF, "datasets", name))
@@ -246,6 +272,26 @@ class TestWindowing:
         np.testing.assert_allclose(out[1, 0], 3.0, atol=1e-6)
 
 
+    def test_resample_extrapolates_like_reference_interp1d(self):
+        """Tail points past the last frame must EXTRAPOLATE with the last
+        segment's slope (reference interp1d fill_value='extrapolate',
+        data_utils.py:667-677), not clamp to the final frame — regression
+        for non-divisor up/downsampling (e.g. 15 fps -> 20 fps)."""
+        from scipy.interpolate import interp1d
+        rng = np.random.default_rng(0)
+        for n, dur, fps in [(30, 2.0, 20), (45, 3.0, 20), (31, 2.05, 17)]:
+            poses = rng.normal(size=(n, 5)).astype(np.float32)
+            ref = interp1d(np.arange(n), poses, axis=0, kind="linear",
+                           fill_value="extrapolate")(
+                np.arange(0, n, n / (dur * fps))).astype(np.float32)
+            out = resample_pose_seq(poses, dur, fps)
+            np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_resample_rejects_single_frame(self):
+        with pytest.raises(ValueError, match=">= 2 frames"):
+            resample_pose_seq(np.zeros((1, 3), np.float32), 1.0, 20)
+
+
 class TestConvertRepresentation:
     def test_log_rot_roundtrip_and_continuity(self):
         rng = np.random.default_rng(4)
@@ -297,6 +343,31 @@ class TestWindowedDataset:
             pose_window_len=40, pose_stride_len=20, pose_fps=20,
             wav_sr=16000, pose_representation="log_rot")
         np.testing.assert_array_equal(ds.poses, ds2.poses)
+
+    def test_stale_cache_with_different_params_rebuilds(self, tmp_path):
+        """A {split}_data.pkl built with different window/stride/fps/
+        representation params must be rebuilt, not silently reused with
+        the wrong shapes/values."""
+        spt = str(tmp_path / "spt")
+        dst = str(tmp_path / "dst")
+        os.makedirs(spt)
+        self._make_samples(spt, "train")
+        ds = WindowedDataset(os.path.join(spt, "train_samples.pkl"), dst,
+                             40, 20, 20, 16000, "log_rot")
+        assert ds.poses.shape == (12, 40, 6)
+        ds2 = WindowedDataset(os.path.join(spt, "train_samples.pkl"), dst,
+                              20, 20, 20, 16000, "log_rot")
+        assert ds2.poses.shape[1] == 20          # not the stale 40
+        # param-less (reference-era) caches are trusted as-is
+        data_path = os.path.join(dst, "train_data.pkl")
+        with open(data_path, "rb") as f:
+            cached = pickle.load(f)
+        del cached["params"]
+        with open(data_path, "wb") as f:
+            pickle.dump(cached, f)
+        ds3 = WindowedDataset(os.path.join(spt, "train_samples.pkl"), dst,
+                              40, 20, 20, 16000, "log_rot")
+        np.testing.assert_array_equal(ds3.poses, ds2.poses)
 
     def test_test_split_keeps_seqs(self, tmp_path):
         spt = str(tmp_path / "spt")

@@ -85,6 +85,59 @@ def test_load_wav_resamples_and_scales(tmp_path):
     assert np.abs(wav).max() <= 1.0
 
 
+def test_load_wav_librosa_scaling(tmp_path):
+    """int16 PCM scales by 2**15 = 32768 (librosa util.buf_to_float), NOT
+    iinfo.max = 32767: int16 min maps to exactly -1.0 and +32767 to just
+    under +1.0."""
+    from scipy.io import wavfile
+
+    p = str(tmp_path / "edge.wav")
+    wavfile.write(p, 16000, np.array([-32768, 32767, 0, 16384], np.int16))
+    wav = load_wav(p, 16000)
+    np.testing.assert_allclose(
+        wav, [-1.0, 32767 / 32768, 0.0, 0.5], atol=1e-7)
+
+
+def test_single_speaker_split_is_stratified_like_reference(tmp_path):
+    """The reference ALWAYS passes stratify=hids (data_utils.py:441-449);
+    StratifiedShuffleSplit draws a different permutation than a plain
+    shuffle at the same seed, so a single-speaker config must still
+    stratify for split-membership parity."""
+    from sklearn.model_selection import train_test_split
+
+    from gesture_diffusion_tpu.data.beat import _stratified_split_and_save
+
+    n = 20
+    data = {"hid": np.ones(n), "pose": np.arange(n)}
+    _stratified_split_and_save(data, str(tmp_path), seed=0)
+    splits = {}
+    for split in ("train", "val", "test"):
+        with open(os.path.join(str(tmp_path), f"{split}_samples.pkl"), "rb") as f:
+            splits[split] = pickle.load(f)["pose"]
+    # reference-style oracle: split the arrays directly, always stratified
+    hids = np.ones(n)
+    _, rest_h, train_p, rest_p = train_test_split(
+        hids, np.arange(n), test_size=0.2, shuffle=True, stratify=hids,
+        random_state=0)
+    _, _, test_p, val_p = train_test_split(
+        rest_h, rest_p, test_size=0.5, shuffle=True, stratify=rest_h,
+        random_state=0)
+    np.testing.assert_array_equal(np.sort(splits["train"]), np.sort(train_p))
+    np.testing.assert_array_equal(np.sort(splits["val"]), np.sort(val_p))
+    np.testing.assert_array_equal(np.sort(splits["test"]), np.sort(test_p))
+
+
+def test_split_dataset_empty_corpus_clear_error(tmp_path):
+    """Every recording failing must end in a clear 'no samples collected'
+    error, not np.concatenate's 'need at least one array'."""
+    src = tmp_path / "BEAT" / "1"
+    os.makedirs(src)
+    _write_toy_bvh(str(src / "only.bvh"))   # wav + TextGrid missing
+    with pytest.raises(ValueError, match="no samples collected"):
+        split_dataset(str(tmp_path / "BEAT"), [1], 16000, 10.0,
+                      str(tmp_path / "spt"), pose_fps=20, joints=["Spine"])
+
+
 def test_split_dataset_end_to_end(tmp_path):
     src = tmp_path / "BEAT" / "1"
     os.makedirs(src)
