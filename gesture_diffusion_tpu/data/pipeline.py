@@ -16,6 +16,7 @@ Artifacts (pickle, reference-compatible keys):
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
 from typing import List, Optional, Tuple
@@ -159,20 +160,27 @@ class WindowedDataset:
         if os.path.exists(data_path) and (not keep_seqs or os.path.exists(seq_path)):
             with open(data_path, "rb") as f:
                 cached = pickle.load(f)
+            seqs = None
+            if keep_seqs:
+                with open(seq_path, "rb") as f:
+                    seqs = pickle.load(f)
             # a cache built with different window/fps/representation params
             # must not be silently reused (it has the wrong shapes or, for
-            # a different representation of the same dim, wrong VALUES);
-            # param-less caches (reference-era pickles) are trusted as-is
-            if cached.get("params", params) == params:
+            # a different representation of the same dim, wrong VALUES).
+            # BOTH pickles are validated: seqs.pkl can be stale independently
+            # of data.pkl (built under old params with keep_seqs=True, then
+            # data.pkl alone rebuilt with keep_seqs=False).  Param-less
+            # caches (reference-era pickles) are trusted as-is.
+            stale = [p for p, c in [(data_path, cached), (seq_path, seqs)]
+                     if c is not None and c.get("params", params) != params]
+            if not stale:
                 self.wavs, self.poses = cached["wav"], cached["pose"]
                 if keep_seqs:
-                    with open(seq_path, "rb") as f:
-                        seqs = pickle.load(f)
                     self.hid_seqs, self.wav_seqs, self.pose_seqs = (
                         seqs["hid"], seqs["wav"], seqs["pose"])
                 return
-            print(f"[Warning] {data_path} was built with "
-                  f"{cached['params']} but {params} requested; rebuilding")
+            print(f"[Warning] {', '.join(stale)} built with different "
+                  f"params than {params} requested; rebuilding")
 
         os.makedirs(dst_dir_path, exist_ok=True)
         with open(samples_path, "rb") as f:
@@ -185,20 +193,42 @@ class WindowedDataset:
         poses = np.stack([resample_pose_seq(x, duration, pose_fps) for x in poses])
         poses = convert_representation(poses, pose_representation)
 
+        # the scaler is fitted on the TRAIN split's resampled+converted
+        # sequences, so its validity is keyed on (pose_fps, representation)
+        # only — window/stride changes don't touch it.  A non-train rebuild
+        # under new params must NOT silently normalise with a scaler fitted
+        # under the old ones (wrong stats, or a shape crash); the sidecar
+        # records what the scaler was fitted with.  Sidecar-less scalers
+        # (reference-era .jl / earlier .npz) are trusted as-is.
+        scaler_params = {"pose_fps": pose_fps,
+                         "pose_representation": pose_representation}
+        sidecar = os.path.join(dst_dir_path, "scaler_params.json")
         n, t, c = poses.shape
         if "train" in base:
             scaler = StandardScaler.fit(poses.reshape(n * t, c))
             scaler.save(scaler_path)
-        elif os.path.exists(scaler_path):
-            scaler = StandardScaler.load(scaler_path)
+            with open(sidecar, "w") as f:
+                json.dump(scaler_params, f)
         else:
-            scaler = StandardScaler.load(legacy_scaler)
+            if os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    fitted_with = json.load(f)
+                if fitted_with != scaler_params:
+                    raise ValueError(
+                        f"scaler in {dst_dir_path} was fitted with "
+                        f"{fitted_with} but {scaler_params} requested; "
+                        "rebuild the train split first")
+            if os.path.exists(scaler_path):
+                scaler = StandardScaler.load(scaler_path)
+            else:
+                scaler = StandardScaler.load(legacy_scaler)
         poses = scaler.transform(poses.reshape(n * t, c)).reshape(n, t, c)
 
         if keep_seqs:
             self.hid_seqs, self.wav_seqs, self.pose_seqs = hids, wavs, poses
             with open(seq_path, "wb") as f:
-                pickle.dump({"hid": hids, "wav": wavs, "pose": poses}, f)
+                pickle.dump({"hid": hids, "wav": wavs, "pose": poses,
+                             "params": params}, f)
 
         self.poses, self.wavs = window_slice(
             poses, wavs, pose_window_len, pose_stride_len, pose_fps, wav_sr)

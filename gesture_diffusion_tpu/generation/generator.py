@@ -382,9 +382,12 @@ class Generator:
             rng, sub = jax.random.split(rng)
             noise = jax.random.normal(sub, (n, pose_window_len, pose_dim))
         sampler = self._get_sampler(sample_alg, with_inpaint)
+        out = sampler(self.variables, wavs, noise, rng,
+                      inpaint_poses, inpaint_masks, ramp)
+        # set only after the sampler returned: a raising sampler must not
+        # leave the attribute claiming a path that produced nothing
         self.last_sample_path = "scan"
-        return sampler(self.variables, wavs, noise, rng,
-                       inpaint_poses, inpaint_masks, ramp)
+        return out
 
     # ------------------------------------------------------------------
     def generate_sequence(
@@ -486,7 +489,11 @@ class Generator:
         windows are outstanding — the issue-N-block-once pattern that
         measures ~3 ms per 2 s window vs ~30 ms when blocking per window
         (PERF.md).  Output is bit-identical to ``generate_sequence`` on the
-        same audio and rng (asserted in tests/test_streaming.py).
+        same audio and rng (asserted in tests/test_streaming.py) PROVIDED
+        the offline call's ``batch_size >= N``: the offline path splits the
+        rng per (batch-chunk, window) while the stream samples the whole
+        batch per window, so with more than ``batch_size`` sequences the
+        two draw different noise.
         """
         return GestureStream(self, wav_sr, pose_dim, pose_fps,
                              pose_window_len, pose_seed_len, rng,
@@ -569,7 +576,13 @@ class GestureStream:
             for poses in stream.push(audio_chunk):
                 play(poses)                   # (N, stride, d_pose)
         for poses in stream.flush():
-            play(poses)
+            play(poses)                       # last chunk: up to window_len
+
+    ``push`` chunks are exactly ``stride`` frames; ``flush``'s FINAL chunk
+    carries everything still owed and can be up to ``pose_window_len``
+    frames (the plan truncates to whole seconds, so the last window's
+    contribution is 1..window_len frames) — size playback buffers for
+    ``pose_window_len``, not ``stride``.
 
     Pipelining: each window's reverse process is dispatched as soon as its
     audio is buffered; the seed tail feeds the next window as a DEVICE
@@ -721,8 +734,9 @@ class GestureStream:
     # -- public API ----------------------------------------------------
     def push(self, audio) -> list:
         """Feed an audio chunk (shape ``(T,)`` or ``(N, T)``); returns the
-        pose chunks (each ``(N, <=stride, pose_dim)``) completed so far.
-        Blocks only when more than ``max_in_flight`` windows are pending."""
+        pose chunks (each exactly ``(N, stride, pose_dim)`` — only flush's
+        final chunk differs) completed so far.  Blocks only when more than
+        ``max_in_flight`` windows are pending."""
         assert not self._finished, "stream already flushed"
         chunk = np.asarray(audio, np.float32)
         if chunk.ndim == 1:
@@ -743,7 +757,8 @@ class GestureStream:
 
     def flush(self) -> list:
         """End of audio: dispatch the remaining (zero-padded) windows and
-        return all remaining pose chunks.  Total emitted length equals
+        return all remaining pose chunks (the final one up to
+        ``pose_window_len`` frames).  Total emitted length equals
         ``generate_sequence``'s output for the same audio."""
         assert not self._finished, "stream already flushed"
         self._finished = True

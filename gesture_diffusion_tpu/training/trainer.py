@@ -370,9 +370,9 @@ class Trainer:
 
         stacked = {k: np.stack([np.asarray(b[k]) for b in batches])
                    for k in batches[0]}
-        if self.mesh is not None:
-            s = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-            stacked = {k: jax.device_put(v, s) for k, v in stacked.items()}
+        # __init__ guarantees self.mesh (falls back to make_mesh())
+        s = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+        stacked = {k: jax.device_put(v, s) for k, v in stacked.items()}
         first = self._step
         self.state, metrics = self._train_multi(self.state, stacked, rng)
         self._step += len(batches)

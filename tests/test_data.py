@@ -369,6 +369,51 @@ class TestWindowedDataset:
                               40, 20, 20, 16000, "log_rot")
         np.testing.assert_array_equal(ds3.poses, ds2.poses)
 
+    def test_stale_seqs_cache_rebuilds(self, tmp_path):
+        """A {split}_seqs.pkl can be stale INDEPENDENTLY of the data pkl:
+        built under params A with keep_seqs=True, then the data pkl alone
+        rebuilt under params B with keep_seqs=False — a later keep_seqs=True
+        load under B must rebuild, not serve A's resampled/converted
+        sequences."""
+        spt = str(tmp_path / "spt")
+        dst = str(tmp_path / "dst")
+        os.makedirs(spt)
+        self._make_samples(spt, "train")
+        self._make_samples(spt, "test")
+        path = os.path.join(spt, "test_samples.pkl")
+        WindowedDataset(os.path.join(spt, "train_samples.pkl"), dst,
+                        40, 20, 20, 16000, "log_rot")    # scaler under A
+        WindowedDataset(path, dst, 40, 20, 20, 16000, "log_rot",
+                        keep_seqs=True)                  # seqs under A (fps 20)
+        os.remove(os.path.join(dst, "test_data.pkl"))
+        # train split refit so the scaler matches fps 10 (params B)
+        WindowedDataset(os.path.join(spt, "train_samples.pkl"), dst,
+                        40, 20, 10, 16000, "log_rot")
+        WindowedDataset(path, dst, 40, 20, 10, 16000, "log_rot")  # data under B
+        ds = WindowedDataset(path, dst, 40, 20, 10, 16000, "log_rot",
+                             keep_seqs=True)
+        assert ds.pose_seqs.shape[1] == 40               # 4 s @ 10 fps, not 80
+
+    def test_scaler_fitted_under_other_params_raises(self, tmp_path):
+        """A non-train split built under new (fps, representation) params
+        must refuse the scaler fitted under the old ones — clear error, not
+        silently wrong normalisation (scaler stats are fps/representation-
+        dependent; window/stride changes alone keep it valid)."""
+        spt = str(tmp_path / "spt")
+        dst = str(tmp_path / "dst")
+        os.makedirs(spt)
+        self._make_samples(spt, "train")
+        self._make_samples(spt, "val")
+        WindowedDataset(os.path.join(spt, "train_samples.pkl"), dst,
+                        40, 20, 20, 16000, "log_rot")
+        with pytest.raises(ValueError, match="rebuild the train split"):
+            WindowedDataset(os.path.join(spt, "val_samples.pkl"), dst,
+                            20, 10, 10, 16000, "log_rot")
+        # window/stride-only changes keep the fitted scaler valid
+        ds = WindowedDataset(os.path.join(spt, "val_samples.pkl"), dst,
+                             20, 10, 20, 16000, "log_rot")
+        assert ds.poses.shape[1] == 20
+
     def test_test_split_keeps_seqs(self, tmp_path):
         spt = str(tmp_path / "spt")
         dst = str(tmp_path / "dst")
