@@ -36,11 +36,19 @@ from .speech_encoder import HA2GSpeechEncoder
 Dtype = jnp.dtype
 
 
+def timestep_freqs(dim: int, max_period: float = 10000.0) -> jax.Array:
+    """(dim//2,) sinusoid frequencies of the timestep embedding — the ONE
+    definition shared with the fused sampler's in-kernel embedding
+    (ops/fused_sampler.py), so the two paths cannot drift."""
+    half = dim // 2
+    return jnp.exp(-math.log(max_period)
+                   * jnp.arange(half, dtype=jnp.float32) / half)
+
+
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
     """Sinusoidal embedding, (N,) -> (N, dim); cos first then sin, matching
     the reference (``models/nn.py:17-35``)."""
-    half = dim // 2
-    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    freqs = timestep_freqs(dim, max_period)
     args = t.astype(jnp.float32)[:, None] * freqs[None]
     emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
     if dim % 2:

@@ -243,9 +243,11 @@ def pack_oneway_denoiser(
     )
 
 
-def ddim_coefficients(sched, timestep_map=None) -> np.ndarray:
+def ddim_coefficients(sched) -> np.ndarray:
     """(S, 4) fp32: [sqrt_recip_acp, sqrt_recipm1_acp, sqrt(acp_prev),
-    sqrt(1-acp_prev)] per respaced step."""
+    sqrt(1-acp_prev)] per step.  Pass the RESPACED schedule (the one
+    ``make_diffusion(..., "ddimN")`` returns) — respacing is baked into its
+    tables; the timestep_map only feeds the kernel's embedding lookup."""
     c = np.stack([
         np.asarray(sched.sqrt_recip_alphas_cumprod),
         np.asarray(sched.sqrt_recipm1_alphas_cumprod),
@@ -256,10 +258,11 @@ def ddim_coefficients(sched, timestep_map=None) -> np.ndarray:
 
 
 def ddpm_coefficients(sched) -> np.ndarray:
-    """(S, 4) fp32 for ancestral sampling: [sqrt_recip_acp,
-    sqrt_recipm1_acp, posterior_mean_coef1, posterior_mean_coef2], plus the
-    noise std exp(0.5*posterior_log_variance) in column 4 — zeroed at step 0
-    (no noise at t == 0)."""
+    """(S, 5) fp32 for ancestral sampling: [sqrt_recip_acp,
+    sqrt_recipm1_acp, posterior_mean_coef1, posterior_mean_coef2,
+    noise std exp(0.5*posterior_log_variance)] — the std column is zeroed
+    at step 0 (no noise at t == 0).  ``fused_ddim_sample(stochastic=True)``
+    requires this 5-column layout."""
     sigma = np.exp(0.5 * np.asarray(sched.posterior_log_variance_clipped))
     sigma[0] = 0.0
     c = np.stack([
@@ -506,7 +509,7 @@ def fused_ddim_sample(
     mem_rows: jax.Array,     # (N, n_mem, D) f32; row 0 is the token slot,
                              # rows 1.. are emb_mem(speech)+pe[1:]
     tmap: jax.Array,         # (S, 1) int32 respaced -> original timestep map
-    coefs: jax.Array,        # (S, 4) f32 ddim coefficients
+    coefs: jax.Array,        # (S, 4) f32 ddim / (S, 5) ddpm coefficients
     blend_a: jax.Array,      # (N, T, Dp_pad) f32
     blend_b: jax.Array,      # (N, T, Dp_pad) f32
     n_layers: int,
@@ -526,12 +529,26 @@ def fused_ddim_sample(
     d_model = packed.w_emm.shape[0]
     if n % n_clips != 0:
         raise ValueError(f"batch {n} not divisible by n_clips {n_clips}")
-    if n_clips > 1 and (t_window % 8 or n_mem % 8):
-        # per-clip attention/dconv slices are sublane slices: clip offsets
-        # must be 8-aligned
+    if t_window % 8 or n_mem % 8:
+        # per-head (and per-clip when packed) attention/dconv slices are
+        # sublane slices at offsets that are multiples of t_window / n_mem:
+        # Mosaic requires 8-alignment even at n_clips == 1 — validate here
+        # rather than dying later in an opaque lowering error
         raise ValueError(
-            f"clip packing needs t_window ({t_window}) and n_mem ({n_mem}) "
+            f"fused sampler needs t_window ({t_window}) and n_mem ({n_mem}) "
             "to be multiples of 8")
+    # the kernel indexes tmap/coefs rows with a DYNAMIC step index in
+    # [0, num_steps); dynamic SMEM reads are not bounds-checked, so a row
+    # mismatch would read garbage silently instead of raising
+    if tmap.shape[0] != num_steps or coefs.shape[0] != num_steps:
+        raise ValueError(
+            f"tmap ({tmap.shape[0]} rows) and coefs ({coefs.shape[0]}) must "
+            f"both have num_steps ({num_steps}) rows — pass the RESPACED "
+            "schedule's tables")
+    if stochastic and coefs.shape[1] < 5:
+        raise ValueError(
+            "stochastic=True needs the 5-column ddpm_coefficients() layout "
+            f"(got {coefs.shape[1]} columns)")
     if n_clips > 1:
         # pack n_clips clips per grid program as one long sequence —
         # projections/FF fill the MXU across clips
@@ -544,9 +561,9 @@ def fused_ddim_sample(
     kernel = _make_kernel(n_layers, heads, t_window, n_mem, num_steps,
                           compute_dtype, n_clips=n_clips,
                           stochastic=stochastic)
-    half = d_model // 2
-    freqs = jnp.exp(-np.log(10000.0)
-                    * jnp.arange(half, dtype=jnp.float32) / half)[None, :]
+    from ..models.denoiser import timestep_freqs
+
+    freqs = timestep_freqs(d_model)[None, :]
 
     def batch_spec(shape):
         return pl.BlockSpec((1, *shape), lambda i: (i, 0, 0),

@@ -121,3 +121,35 @@ def test_fused_falls_back_for_unsupported_configs():
     assert not gen._fused_enabled()
     out = gen.generate_sample(WAV, D_POSE, T, jax.random.key(8))
     assert out.shape == (N, T, D_POSE)
+
+
+def test_fused_entrypoint_validates_shapes(setup):
+    """Direct fused_ddim_sample callers get clear errors, not silent
+    out-of-bounds SMEM reads (tmap/coefs row mismatch vs num_steps), opaque
+    Mosaic lowering failures (unaligned t_window), or a bare IndexError
+    (4-column coefs with stochastic=True)."""
+    import gesture_diffusion_tpu.ops.fused_sampler as fs
+
+    _, gen_fused = setup
+    sched = gen_fused.sched
+    packed = fs.pack_oneway_denoiser(
+        gen_fused.variables["params"], D_POSE, T, weight_dtype=jnp.float32)
+    tmap = jnp.asarray(np.asarray(gen_fused.timestep_map)[:, None]
+                       .astype(np.int32))
+    coefs = jnp.asarray(fs.ddim_coefficients(sched))
+    S = tmap.shape[0]
+    x_T = jnp.zeros((N, T, 128))
+    mem = jnp.zeros((N, 8, DM))
+    ba, bb = jnp.zeros_like(x_T), jnp.ones_like(x_T)
+    kw = dict(n_layers=1, heads=8, compute_dtype=jnp.float32, interpret=True)
+
+    with pytest.raises(ValueError, match="num_steps"):
+        fs.fused_ddim_sample(packed, x_T, mem, tmap, coefs, ba, bb,
+                             num_steps=S + 1, **kw)
+    with pytest.raises(ValueError, match="multiples of 8"):
+        fs.fused_ddim_sample(packed, jnp.zeros((N, T - 1, 128)), mem, tmap,
+                             coefs, ba[:, :T - 1], bb[:, :T - 1],
+                             num_steps=S, **kw)
+    with pytest.raises(ValueError, match="5-column"):
+        fs.fused_ddim_sample(packed, x_T, mem, tmap, coefs, ba, bb,
+                             num_steps=S, stochastic=True, **kw)
