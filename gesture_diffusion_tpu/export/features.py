@@ -20,7 +20,10 @@ def peak_indexes(signal: np.ndarray, thres: float = 0.3,
     signal = np.asarray(signal, float)
     if len(signal) < 3:
         return np.array([], dtype=int)
-    floor = signal.min() + thres * (signal.max() - signal.min())
+    with np.errstate(invalid="ignore"):
+        # inf threshold on a flat signal -> nan floor -> no peaks (the
+        # same silent outcome peakutils produces); suppress the warning
+        floor = signal.min() + thres * (signal.max() - signal.min())
     cand = np.where(
         (signal[1:-1] > signal[:-2]) & (signal[1:-1] > signal[2:])
         & (signal[1:-1] > floor))[0] + 1
@@ -36,12 +39,22 @@ def peak_indexes(signal: np.ndarray, thres: float = 0.3,
 def get_foot_contact_idxs(signal: np.ndarray, t: float = 0.02,
                           min_dist: int = 120):
     """:return: [up_indices, down_indices] — peaks of the signal and of its
-    negation (reference ``features.py:12-16``)."""
+    negation (reference ``features.py:12-16``).
+
+    Bug-compat: the reference passes ``thres=t/min(signal)`` for the
+    down-peaks — NEGATIVE whenever the signal dips below zero (the usual
+    case for a velocity trace), and peakutils does not clamp it, so the
+    floor lands below the minimum and EVERY strict local maximum of
+    ``-signal`` survives thresholding.  Reproduced exactly (a positive
+    ``t/|min|`` was a silent deviation that suppressed down-peaks).  A
+    zero max/min maps to an infinite threshold (numpy division), which
+    peakutils turns into 'no peaks' — also matched."""
     signal = np.asarray(signal, float)
-    up = peak_indexes(signal, thres=t / max(signal.max(), 1e-12),
-                      min_dist=min_dist)
-    down = peak_indexes(-signal, thres=t / max(-signal.min(), 1e-12)
-                        if signal.min() < 0 else 0.0, min_dist=min_dist)
+    with np.errstate(divide="ignore"):
+        up = peak_indexes(signal, thres=float(t / np.float64(signal.max())),
+                          min_dist=min_dist)
+        down = peak_indexes(-signal, thres=float(t / np.float64(signal.min())),
+                            min_dist=min_dist)
     return [up, down]
 
 

@@ -197,9 +197,12 @@ def visualize_sample_skeleton(
     output_path: str,
     fps: int = 20,
     which: str = "out",
+    wav_sr: int = 16000,
 ) -> str:
     """Render one generated sample pickle ({"pose","out","wav"}) to an
-    animation (``vis_skeleton.py:339`` equivalent)."""
+    animation (``vis_skeleton.py:339`` equivalent).  ``wav_sr`` must match
+    the rate the sample's wav was stored at (config ``Data.wav_sr``) or the
+    muxed audio plays pitch-shifted."""
     import pickle
 
     with open(sample_path, "rb") as f:
@@ -209,4 +212,4 @@ def visualize_sample_skeleton(
         skeleton, np.asarray(sample[which]), joint_names)
     return make_skeleton_video(
         positions, skeleton, output_path, fps=fps,
-        wav=sample.get("wav"), wav_sr=16000)
+        wav=sample.get("wav"), wav_sr=wav_sr)

@@ -7,8 +7,10 @@ sigma=0.1) and beat recall (predicted vs ground-truth motion beats).
 
 The reference used ``librosa.onset.onset_detect`` for audio onsets;
 librosa is not available here, so :func:`onset_detect` implements the same
-method natively: mel-power spectral flux -> adaptive peak picking with
-librosa's default window/threshold parameters.
+method natively: Slaney-mel power spectral flux with librosa's center
+compensation -> adaptive peak picking with librosa's default
+window/threshold parameters (mirrored from the librosa 0.10 source;
+librosa itself cannot be executed in this environment to produce goldens).
 """
 
 from __future__ import annotations
@@ -28,17 +30,26 @@ from ..ops.audio import mel_spectrogram
 def onset_strength(wav: np.ndarray, sr: int, n_fft: int = 2048,
                    hop_length: int = 512, n_mels: int = 128) -> np.ndarray:
     """Spectral-flux onset envelope over a dB mel spectrogram; one value
-    per hop frame (librosa ``onset_strength`` method)."""
+    per hop frame.  Mirrors librosa ``onset.onset_strength`` defaults
+    (librosa cannot be executed in this environment, so this follows its
+    published 0.10 algorithm rather than an executed golden): Slaney-scale,
+    Slaney-normalised mel basis (htk=False, norm="slaney" — NOT the HTK
+    basis the speech encoder uses), power_to_db(ref=1, amin=1e-10,
+    top_db=80), lag-1 positive flux averaged over mel bands, and front
+    zero-padding of ``lag + n_fft // (2 * hop)`` frames (center
+    compensation) truncated back to the frame count."""
     import jax.numpy as jnp
 
     mel = np.asarray(mel_spectrogram(
         jnp.asarray(wav[None].astype(np.float32)), sample_rate=sr,
-        n_fft=n_fft, hop_length=hop_length, n_mels=n_mels))[0]
+        n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
+        htk=False, norm="slaney"))[0]
     db = 10.0 * np.log10(np.maximum(mel, 1e-10))
     db = np.maximum(db, db.max() - 80.0)
     flux = np.maximum(0.0, db[:, 1:] - db[:, :-1]).mean(axis=0)
-    # librosa lags the envelope by one frame and pads the front
-    return np.concatenate([[0.0], flux])
+    lag = 1
+    pad = lag + n_fft // (2 * hop_length)
+    return np.concatenate([np.zeros(pad), flux])[: db.shape[1]]
 
 
 def peak_pick(x: np.ndarray, pre_max: int, post_max: int, pre_avg: int,

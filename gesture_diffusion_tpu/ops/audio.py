@@ -46,20 +46,59 @@ def _mel_to_hz_htk(m):
     return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
 
 
+# Slaney mel scale (librosa's default, htk=False): linear below 1 kHz at
+# 3/200 mel/Hz, logarithmic above with step log(6.4)/27
+_SLANEY_F_SP = 200.0 / 3.0
+_SLANEY_MIN_LOG_HZ = 1000.0
+_SLANEY_MIN_LOG_MEL = _SLANEY_MIN_LOG_HZ / _SLANEY_F_SP     # = 15.0
+_SLANEY_LOGSTEP = np.log(6.4) / 27.0
+
+
+def _hz_to_mel_slaney(f):
+    f = np.asarray(f, np.float64)
+    return np.where(
+        f >= _SLANEY_MIN_LOG_HZ,
+        _SLANEY_MIN_LOG_MEL + np.log(np.maximum(f, 1e-12)
+                                     / _SLANEY_MIN_LOG_HZ) / _SLANEY_LOGSTEP,
+        f / _SLANEY_F_SP)
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, np.float64)
+    return np.where(
+        m >= _SLANEY_MIN_LOG_MEL,
+        _SLANEY_MIN_LOG_HZ * np.exp(_SLANEY_LOGSTEP
+                                    * (m - _SLANEY_MIN_LOG_MEL)),
+        m * _SLANEY_F_SP)
+
+
 def mel_filterbank(
     n_freqs: int, n_mels: int, sample_rate: int,
     f_min: float = 0.0, f_max: "float | None" = None,
+    htk: bool = True, norm: "str | None" = None,
 ) -> np.ndarray:
-    """(n_freqs, n_mels) triangular HTK-mel filterbank, norm=None."""
+    """(n_freqs, n_mels) triangular mel filterbank.
+
+    Defaults (htk=True, norm=None) match the torchaudio front-end the
+    reference's speech encoder froze (``ha2g/model/utils.py:22-38``);
+    htk=False + norm="slaney" is librosa's default basis, needed by the
+    onset-detection path (``generation/eval_utils.py``)."""
     f_max = sample_rate / 2.0 if f_max is None else f_max
+    hz_to_mel = _hz_to_mel_htk if htk else _hz_to_mel_slaney
+    mel_to_hz = _mel_to_hz_htk if htk else _mel_to_hz_slaney
     all_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
-    m_pts = np.linspace(_hz_to_mel_htk(f_min), _hz_to_mel_htk(f_max), n_mels + 2)
-    f_pts = _mel_to_hz_htk(m_pts)                         # (n_mels + 2,)
+    m_pts = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    f_pts = mel_to_hz(m_pts)                              # (n_mels + 2,)
     f_diff = np.diff(f_pts)                               # (n_mels + 1,)
     slopes = f_pts[None, :] - all_freqs[:, None]          # (n_freqs, n_mels + 2)
     down = -slopes[:, :-2] / f_diff[:-1]
     up = slopes[:, 2:] / f_diff[1:]
     fb = np.maximum(0.0, np.minimum(down, up))
+    if norm == "slaney":
+        # area normalisation: each triangle scaled to ~constant energy
+        fb *= (2.0 / (f_pts[2:] - f_pts[:-2]))[None, :]
+    elif norm is not None:
+        raise ValueError(f"unknown mel norm {norm!r}")
     return fb.astype(np.float32)
 
 
@@ -72,19 +111,23 @@ def frame_signal(wav: jax.Array, n_fft: int, hop: int) -> jax.Array:
     return x[:, idx]
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "n_fft", "hop_length", "n_mels"))
+@partial(jax.jit, static_argnames=("sample_rate", "n_fft", "hop_length",
+                                   "n_mels", "htk", "norm"))
 def mel_spectrogram(
     wav: jax.Array,
     sample_rate: int = 16000,
     n_fft: int = 1024,
     hop_length: int = 512,
     n_mels: int = 128,
+    htk: bool = True,
+    norm: "str | None" = None,
 ) -> jax.Array:
     """(N, T_wav) -> (N, n_mels, n_frames), power spectrogram x mel fbank."""
     frames = frame_signal(wav.astype(jnp.float32), n_fft, hop_length)
     frames = frames * hann_window(n_fft)
     spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2      # (N, F, n_fft/2+1)
-    fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate))
+    fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate,
+                                    htk=htk, norm=norm))
     mel = spec @ fb                                          # (N, F, n_mels)
     return jnp.swapaxes(mel, 1, 2)
 

@@ -52,11 +52,13 @@ def make_synthetic_samples(config):
     for split, n in [("train", syn.get("n_train", 8)),
                      ("val", syn.get("n_val", 4)),
                      ("test", syn.get("n_test", 4))]:
-        t = np.linspace(0, seconds, seconds * fps_src)[:, None, None]
+        # int casts: JSON configs may give fractional seconds (4.5)
+        t = np.linspace(0, seconds, int(seconds * fps_src))[:, None, None]
         freqs = rng.uniform(0.5, 2.0, (n, 1, n_joints * 3))
         pose = 25 * np.sin(2 * np.pi * freqs * t.transpose(1, 0, 2))
         pose = (pose + rng.normal(0, 2, pose.shape)).astype(np.float32)
-        wav = rng.normal(0, 0.3, (n, seconds * config.Data.wav_sr)).astype(np.float32)
+        wav = rng.normal(
+            0, 0.3, (n, int(seconds * config.Data.wav_sr))).astype(np.float32)
         with open(os.path.join(spt, f"{split}_samples.pkl"), "wb") as f:
             pickle.dump({"hid": np.zeros(n), "pose": pose, "wav": wav}, f)
     print(f"[Info] Synthetic samples written to {spt}")
@@ -91,8 +93,6 @@ def load_datasets(config):
 
 
 def _mesh_from_config(config):
-    import jax
-
     world = config.Train.get("world_size", "auto")
     if world == "auto":
         return make_mesh()

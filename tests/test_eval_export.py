@@ -294,3 +294,51 @@ class TestStickFigures:
         ax = draw_stickfigure(pos, frame=0, joints=subset)
         assert len(ax.collections) == len(subset)
         plt.close(ax.figure)
+
+
+class TestOnsetLibrosaSemantics:
+    def test_onset_strength_center_compensation(self):
+        """librosa pads the envelope front by lag + n_fft//(2*hop) = 3
+        frames (center compensation) and truncates back to the frame
+        count — the first 3 values are exactly 0 and the length equals
+        the mel frame count."""
+        sr, n_fft, hop = 16000, 2048, 512
+        wav = np.random.default_rng(0).normal(0, 0.3, sr).astype(np.float32)
+        env = ev.onset_strength(wav, sr)
+        n_frames = 1 + len(wav) // hop
+        assert len(env) == n_frames
+        assert np.all(env[:3] == 0.0)
+        assert env[3:].max() > 0.0
+
+    def test_slaney_mel_scale_constants(self):
+        """Slaney scale: 1 kHz maps to mel 15, linear 200/3 Hz-per-mel
+        below, log(6.4)/27 step above; roundtrip exact."""
+        from gesture_diffusion_tpu.ops.audio import (
+            _hz_to_mel_slaney,
+            _mel_to_hz_slaney,
+            mel_filterbank,
+        )
+
+        assert np.isclose(float(_hz_to_mel_slaney(1000.0)), 15.0)
+        assert np.isclose(float(_hz_to_mel_slaney(500.0)), 7.5)
+        f = np.linspace(0, 8000, 101)
+        np.testing.assert_allclose(_mel_to_hz_slaney(_hz_to_mel_slaney(f)),
+                                   f, atol=1e-6)
+        # slaney norm: triangle i scaled by 2/(f[i+2]-f[i]) -> peak of each
+        # filter equals that factor times the unnormalised peak
+        fb_raw = mel_filterbank(1025, 16, 16000, htk=False)
+        fb_nrm = mel_filterbank(1025, 16, 16000, htk=False, norm="slaney")
+        ratio = fb_nrm.max(axis=0) / fb_raw.max(axis=0)
+        m = np.linspace(_hz_to_mel_slaney(0.0), _hz_to_mel_slaney(8000.0), 18)
+        f_pts = _mel_to_hz_slaney(m)
+        np.testing.assert_allclose(ratio, 2.0 / (f_pts[2:] - f_pts[:-2]),
+                                   rtol=1e-4)
+
+    def test_htk_default_unchanged(self):
+        """The speech-encoder basis (htk=True, norm=None) is untouched by
+        the slaney addition — same values as before."""
+        from gesture_diffusion_tpu.ops.audio import mel_filterbank
+
+        fb = mel_filterbank(513, 128, 16000)
+        fb2 = mel_filterbank(513, 128, 16000, htk=True, norm=None)
+        np.testing.assert_array_equal(fb, fb2)

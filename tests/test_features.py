@@ -31,3 +31,23 @@ def test_foot_contact_signal():
     assert track[int(down[0]) + 1] == 0          # down-peak clears contact
     later_up = [u for u in up if u > down[0]]
     assert track[int(later_up[0]) + 1] == 1      # next up-peak restores it
+
+
+def test_down_peak_negative_thres_is_bug_compat():
+    """The reference passes thres=t/min(signal) to peakutils for the
+    down-peaks — NEGATIVE for a signal dipping below zero, and peakutils
+    does not clamp, so every strict local maximum of -signal survives
+    thresholding.  A tiny dip that a positive t/|min| threshold would
+    suppress must be kept (features.py:14 bug-compat)."""
+    signal = np.zeros(400)
+    signal[100] = -1.0        # deep down-peak
+    signal[300] = -0.001      # tiny dip, far below thres*range for t=0.02
+    _, down = get_foot_contact_idxs(signal, t=0.02, min_dist=50)
+    assert list(down) == [100, 300]
+
+
+def test_peak_indexes_all_zero_signal_no_peaks():
+    """max == min == 0 -> infinite threshold via numpy division (the
+    reference divides by zero the same way) -> no peaks, no crash."""
+    up, down = get_foot_contact_idxs(np.zeros(100), t=0.02, min_dist=10)
+    assert len(up) == 0 and len(down) == 0
