@@ -378,27 +378,20 @@ def _dense_from_conv1(sd: Mapping, prefix: str) -> dict:
 
 
 def _glide_res(sd: Mapping, prefix: str) -> dict:
-    out = {
-        "in_norm": _layernorm(sd, f"{prefix}.in_layers.0"),
-        "in_conv": _conv_nd(sd, f"{prefix}.in_layers.2"),
-        "emb_proj": _linear(sd, f"{prefix}.emb_layers.1"),
-        "out_norm": _layernorm(sd, f"{prefix}.out_layers.0"),
-        "out_conv": _conv_nd(sd, f"{prefix}.out_layers.3"),
-    }
-    if f"{prefix}.skip_connection.weight" in sd:
-        out["skip"] = _conv_nd(sd, f"{prefix}.skip_connection")
+    """Same torch block as _unet_res_block; only the flax param names of
+    GlideUNet's ResBlock differ — delegate so a layout fix lands in both."""
+    p = _unet_res_block(sd, prefix)
+    out = {"in_norm": p["norm_in"], "in_conv": p["conv_in"],
+           "emb_proj": p["emb_proj"], "out_norm": p["norm_out"],
+           "out_conv": p["conv_out"]}
+    if "skip_proj" in p:
+        out["skip"] = p["skip_proj"]
     return out
 
 
-def _glide_attn(sd: Mapping, prefix: str) -> dict:
-    out = {
-        "norm": _layernorm(sd, f"{prefix}.norm"),
-        "qkv": _dense_from_conv1(sd, f"{prefix}.qkv"),
-        "proj_out": _dense_from_conv1(sd, f"{prefix}.proj_out"),
-    }
-    if f"{prefix}.encoder_kv.weight" in sd:
-        out["encoder_kv"] = _dense_from_conv1(sd, f"{prefix}.encoder_kv")
-    return out
+# byte-identical to the UNetAttn attention importer — one definition so the
+# two import paths can never desynchronise
+_glide_attn = _unet_attn_block
 
 
 def import_glide_unet_state_dict(

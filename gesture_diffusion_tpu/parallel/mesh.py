@@ -48,7 +48,19 @@ def make_mesh(
     """2-D ("data", "model") mesh; defaults to all devices on the data axis."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
+        # implicit sizing must use every device — silently dropping the
+        # remainder would run at reduced throughput with no signal.  An
+        # EXPLICIT n_data that uses fewer devices stays allowed (that is
+        # how Train.world_size requests a smaller data axis).
+        if len(devices) % n_model:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_model="
+                f"{n_model}; pass n_data explicitly to use a subset")
         n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)}")
     use = devices[: n_data * n_model]
     arr = np.array(use).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))

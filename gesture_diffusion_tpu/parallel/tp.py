@@ -46,9 +46,20 @@ def tensor_parallel_shardings(params, mesh: Mesh):
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def path_str(kp):
-        return "/".join(
-            getattr(k, "key", getattr(k, "idx", str(k))) if not isinstance(k, str) else k
-            for k in (getattr(p, "key", p) for p in kp))
+        # render every key kind: DictKey -> .key, SequenceKey -> str(.idx)
+        # (the raw int idx crashes str.join), GetAttrKey -> .name (str(k)
+        # renders '.name' whose leading dot breaks endswith matching)
+        parts = []
+        for p in kp:
+            if hasattr(p, "key"):
+                parts.append(str(p.key))
+            elif hasattr(p, "idx"):
+                parts.append(str(p.idx))
+            elif hasattr(p, "name"):
+                parts.append(str(p.name))
+            else:
+                parts.append(str(p))
+        return "/".join(parts)
 
     specs = {}
     for kp, leaf in flat:

@@ -29,8 +29,14 @@ def save_checkpoint(
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host_tree))
     os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
-    with open(path + ".meta.json", "w") as f:
+    # the meta sidecar gets the same tmp+replace treatment: a crash between
+    # the two replaces can pair new weights with the PREVIOUS meta (benign:
+    # resume re-runs at most one epoch), but never with a torn JSON that
+    # would make load_checkpoint raise and block auto-resume entirely
+    meta_tmp = path + ".meta.json.tmp"
+    with open(meta_tmp, "w") as f:
         json.dump(metadata, f, indent=2)
+    os.replace(meta_tmp, path + ".meta.json")
 
 
 def load_checkpoint(

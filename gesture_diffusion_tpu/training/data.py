@@ -83,38 +83,50 @@ def iter_batches(
         rng.shuffle(idx)         # same seed on every host -> same permutation
     n_batches = n // batch_size if drop_last else -(-n // batch_size)
     multihost = process_count > 1
+    # every FULL batch must divide over hosts x mesh data axis; a batch_size
+    # that can't is a misconfiguration surfaced here, NOT silently truncated
+    # on every batch (which would quietly shrink — or zero out — the epoch)
+    divisor = process_count if multihost else 1
+    if mesh is not None:
+        divisor = int(np.lcm(divisor, mesh.shape["data"]))
+    if batch_size % divisor:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by {divisor} "
+            f"({process_count} hosts x data axis "
+            f"{mesh.shape['data'] if mesh is not None else 1})")
+    sharding = None
+    imap_cache: Dict[tuple, dict] = {}   # gshape -> device indices map
+    if multihost and mesh is not None:
+        from ..parallel import data_sharding
+        sharding = data_sharding(mesh)
     for b in range(n_batches):
         sel = idx[b * batch_size:(b + 1) * batch_size]
+        if len(sel) % divisor:
+            # ragged FINAL batch (drop_last=False only): truncate to the
+            # largest evenly-shardable size rather than dying at epoch end
+            # (DistributedSampler pads instead; truncation never duplicates
+            # samples).  Applies on single-host meshes too — shard_batch's
+            # device_put requires divisibility just like the assembly below.
+            sel = sel[: len(sel) - len(sel) % divisor]
+            if len(sel) == 0:
+                continue
         if multihost:
-            divisor = process_count
-            if mesh is not None:
-                # the global batch must also divide over the mesh's data
-                # axis for the sharded-array assembly below
-                divisor = int(np.lcm(divisor, mesh.shape["data"]))
-            if len(sel) % divisor:
-                # ragged final batch (drop_last=False): truncate to the
-                # largest evenly-shardable size rather than dying at epoch
-                # end (DistributedSampler pads instead; truncation never
-                # duplicates samples)
-                sel = sel[: len(sel) - len(sel) % divisor]
-                if len(sel) == 0:
-                    continue
             if mesh is not None:
                 # derive each addressable device's global rows from the
                 # sharding's own indices map — correct for ANY mesh device
                 # order, unlike a contiguous process_index-ordered
                 # host_slice (which silently pairs hosts with the wrong
                 # rows on a custom device_order mesh)
-                from ..parallel import data_sharding
-                s = data_sharding(mesh)
                 batch = {}
                 for k, v in dataset.data.items():
                     gshape = (len(sel),) + v.shape[1:]
-                    imap = s.addressable_devices_indices_map(gshape)
+                    if gshape not in imap_cache:   # identical for all full batches
+                        imap_cache[gshape] = (
+                            sharding.addressable_devices_indices_map(gshape))
                     shards = [jax.device_put(v[sel[sl[0]]], d)
-                              for d, sl in imap.items()]
+                              for d, sl in imap_cache[gshape].items()]
                     batch[k] = jax.make_array_from_single_device_arrays(
-                        gshape, s, shards)
+                        gshape, sharding, shards)
             else:
                 local = host_slice(sel, process_index, process_count)
                 batch = {k: v[local] for k, v in dataset.data.items()}
@@ -125,5 +137,10 @@ def iter_batches(
         yield batch
 
 
-def steps_per_epoch(dataset_len: int, batch_size: int) -> int:
-    return dataset_len // batch_size
+def steps_per_epoch(dataset_len: int, batch_size: int,
+                    drop_last: bool = True) -> int:
+    """Number of batches :func:`iter_batches` yields for these settings
+    (before any mesh-divisor truncation of the final ragged batch, which
+    can drop it entirely — a lower bound only when drop_last=False)."""
+    return (dataset_len // batch_size if drop_last
+            else -(-dataset_len // batch_size))

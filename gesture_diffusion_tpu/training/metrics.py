@@ -16,6 +16,8 @@ import time
 import uuid
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 
 def generate_run_id() -> str:
     return uuid.uuid4().hex[:8]
@@ -39,8 +41,15 @@ class MetricsLogger:
                 json.dump(config, f, indent=2, default=str)
 
     def log(self, record: Dict[str, Any], step: Optional[int] = None) -> None:
-        rec = {k: (float(v) if hasattr(v, "__float__") else v)
-               for k, v in record.items()}
+        def scalarize(v):
+            # float() only on actual scalars: numpy/jax arrays define
+            # __float__ regardless of size, and float(size>1 array) raises
+            # mid-epoch; vectors serialize as lists instead
+            if hasattr(v, "size") and getattr(v, "size", 1) != 1:
+                return np.asarray(v).tolist()
+            return float(v) if hasattr(v, "__float__") else v
+
+        rec = {k: scalarize(v) for k, v in record.items()}
         rec["_time"] = time.time()
         if step is not None:
             rec["_step"] = int(step)

@@ -41,8 +41,12 @@ class JsonConfig(Mapping):
             data = source
         else:
             raise TypeError(f"Unsupported config source type: {type(source)}")
+        # re-wrap EVERY mapping child — including ones that are already
+        # JsonConfig — so nested nodes are never shared by reference: with
+        # aliased children, set() on a merged config (c1 + c2) mutated the
+        # source configs too, despite the immutability contract below
         object.__setattr__(self, "_data", {
-            k: JsonConfig(v) if isinstance(v, Mapping) and not isinstance(v, JsonConfig) else v
+            k: JsonConfig(v) if isinstance(v, Mapping) else v
             for k, v in data.items()
         })
 

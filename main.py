@@ -31,6 +31,7 @@ from gesture_diffusion_tpu.generation.eval_utils import (
 from gesture_diffusion_tpu.models import build_all
 from gesture_diffusion_tpu.parallel import make_mesh
 from gesture_diffusion_tpu.training import Trainer
+from gesture_diffusion_tpu.training import steps_per_epoch as _steps_per_epoch
 from gesture_diffusion_tpu.training.checkpoint import (
     checkpoint_path,
     load_checkpoint,
@@ -121,7 +122,8 @@ def train_model(config):
         config=config.to_dict(),
         start_chkpt=config.Model.get("start_chkpt"),
         steps_per_call=config.Train.get("steps_per_call", 1))
-    steps_per_epoch = max(1, len(train_ds.as_arrays()) // config.Train.batch_size)
+    steps_per_epoch = max(1, _steps_per_epoch(
+        len(train_ds.as_arrays()), config.Train.batch_size))
     max_epochs = max(1, round(
         parse_steps(config.Train.max_training_steps) / steps_per_epoch))
     early_stop = max(1, round(

@@ -65,3 +65,20 @@ def test_phases_end_to_end(config):
         sample = pickle.load(f)
     assert sample["out"].shape == (80, 12)  # 4 s @ 20 fps
     assert np.isfinite(sample["out"]).all()
+
+
+def test_json_config_merge_does_not_alias_children():
+    """merged()/the constructor must deep-copy nested nodes: set() on a
+    merged config previously mutated the SOURCE configs through shared
+    child references, breaking the immutability contract."""
+    from gesture_diffusion_tpu.utils import JsonConfig
+
+    c1 = JsonConfig({"Train": {"lr": 1e-4}, "Data": {"wav_sr": 16000}})
+    c2 = JsonConfig({"Eval": {"fgd": True}})
+    c3 = c1 + c2
+    c3.set("Train.lr", 999.0)
+    assert c1.Train.lr == 1e-4
+    inner = JsonConfig({"a": 1})
+    outer = JsonConfig({"sub": inner})
+    outer.set("sub.a", 42)
+    assert inner.a == 1

@@ -7,6 +7,8 @@ the real package isn't installed and the environment has no network
 import sys
 import types
 
+import numpy as np
+
 from gesture_diffusion_tpu.training.metrics import MetricsLogger
 
 
@@ -45,3 +47,16 @@ def test_no_wandb_is_fine(tmp_path, monkeypatch):
     lg.log({"test/fgd": 3.2})
     assert lg.run_id == "fixed123"
     assert lg.read_all()[0]["test/fgd"] == 3.2
+
+
+def test_vector_metric_logs_as_list(tmp_path):
+    """numpy arrays define __float__ regardless of size; a size>1 metric
+    must serialize as a list, not crash the run mid-epoch."""
+    from gesture_diffusion_tpu.training.metrics import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path))
+    lg.log({"train/loss": np.float32(1.5),
+            "train/per_joint": np.arange(3.0)}, step=1)
+    rec = lg.read_all()[-1]
+    assert rec["train/loss"] == 1.5
+    assert rec["train/per_joint"] == [0.0, 1.0, 2.0]

@@ -267,3 +267,65 @@ def test_multihost_ragged_final_batch_truncates():
         process_index=0, process_count=4)]
     # global batches 16 then 6 -> truncated to 4; each host sees 1/4
     assert got == [4, 1]
+
+
+def test_single_host_mesh_ragged_final_batch_truncates():
+    """drop_last=False on a single-host mesh previously CRASHED on the
+    ragged final batch (shard_batch device_put needs divisibility); it now
+    truncates to the largest data-axis multiple like the multihost path."""
+    from gesture_diffusion_tpu.training.data import ArrayDataset, iter_batches
+
+    mesh = make_mesh()                     # 8-device virtual mesh
+    n = 18                                 # 8 + 8 + ragged 2 -> dropped
+    ds = ArrayDataset({"pose": np.arange(n * 2.0).reshape(n, 1, 2),
+                       "wav": np.zeros((n, 8))})
+    got = [b["pose"].shape[0] for b in iter_batches(
+        ds, 8, shuffle=False, drop_last=False, mesh=mesh)]
+    assert got == [8, 8]
+    n = 20                                 # ragged 4 -> kept (divisible by 8? no)
+    ds = ArrayDataset({"pose": np.arange(n * 2.0).reshape(n, 1, 2),
+                       "wav": np.zeros((n, 8))})
+    got = [b["pose"].shape[0] for b in iter_batches(
+        ds, 16, shuffle=False, drop_last=False, mesh=mesh)]
+    assert got == [16]                     # tail of 4 < 8 -> dropped
+
+
+def test_indivisible_batch_size_is_a_clear_error():
+    """A batch_size no FULL batch can shard (not divisible by hosts x data
+    axis) is a misconfiguration: loud ValueError up front, not an epoch of
+    silently-truncated (or zero) batches."""
+    from gesture_diffusion_tpu.training.data import ArrayDataset, iter_batches
+
+    ds = ArrayDataset({"pose": np.zeros((24, 1, 2)), "wav": np.zeros((24, 8))})
+    with pytest.raises(ValueError, match="not divisible"):
+        list(iter_batches(ds, 6, shuffle=False,
+                          process_index=0, process_count=4))
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="not divisible"):
+        list(iter_batches(ds, 12, shuffle=False, mesh=mesh))   # 12 % 8
+
+
+def test_make_mesh_rejects_silent_device_drop():
+    """Implicit n_data must use every device; n_model that leaves a
+    remainder raises instead of silently running on a subset.  Explicit
+    n_data below the device count stays allowed (Train.world_size)."""
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(n_model=3)               # 8 % 3
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(n_data=8, n_model=2)     # 16 > 8 devices
+    m = make_mesh(n_data=2, n_model=2)     # deliberate subset: fine
+    assert dict(m.shape) == {"data": 2, "model": 2}
+
+
+def test_tensor_parallel_shardings_handle_list_and_attr_trees():
+    """path_str must render SequenceKey (int idx) and GetAttrKey paths —
+    list-containing trees crashed str.join, and attr paths rendered with a
+    leading dot so endswith() never matched (weights silently replicated)."""
+    from gesture_diffusion_tpu.parallel.tp import tensor_parallel_shardings
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {"layers": [{"query": {"kernel": jnp.zeros((8, 8))}},
+                         {"ff": {"layer1": {"kernel": jnp.zeros((8, 16))}}}]}
+    sh = tensor_parallel_shardings(params, mesh)          # no TypeError
+    assert not sh["layers"][0]["query"]["kernel"].is_fully_replicated
+    assert not sh["layers"][1]["ff"]["layer1"]["kernel"].is_fully_replicated
