@@ -131,6 +131,10 @@ class GestureDenoiser(nn.Module):
                 window_len=c.window_len, **common)
         else:
             raise ValueError(f"Unsupported decoder type {c.decoder_type}")
+        if c.model_type not in ("default", "s2g_v2", "inpaint"):
+            # a typo'd model_type must not silently build the 'default'
+            # architecture (the reference raises too, model_creation.py:160)
+            raise ValueError(f"Unsupported model_type {c.model_type}")
         if c.model_type == "s2g_v2":
             self.blend_layer = nn.Dense(c.d_model, dtype=dt)
         if c.model_type == "inpaint":
@@ -176,8 +180,13 @@ class GestureDenoiser(nn.Module):
             proj = self.inpaint_dropout(proj, deterministic=not train)
             x = x + proj
         t_token = self.step_encoder(t, train)[:, None]     # (N, 1, d_model)
+        # promote, never truncate: with encoder_dtype=bf16 on default/
+        # inpaint models the raw stream concat is bf16, and casting the
+        # fp32 step embedding DOWN to it would squeeze the timestep signal
+        # to ~3 significant digits (policy is bf16 conv trunk, fp32 decoder)
+        mdt = jnp.promote_types(t_token.dtype, speech_memory.dtype)
         memory = jnp.concatenate(
-            [t_token.astype(speech_memory.dtype), speech_memory], axis=1)
+            [t_token.astype(mdt), speech_memory.astype(mdt)], axis=1)
         return self.decoder(x, memory, train)
 
     def __call__(

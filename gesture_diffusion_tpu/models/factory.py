@@ -90,6 +90,14 @@ def build_all(
     dp = model_params.get("Diffusion")
     if dp.get("type", "gaussian") != "gaussian":
         raise ValueError(f"Unsupported diffusion type {dp.type}")
+    # diffusion/gaussian.py implements FIXED_SMALL only (the value both
+    # shipped reference configs use); any other requested variance type
+    # must fail loudly, not silently sample with beta_tilde
+    mvt = dp.get("model_var_type", "fixed_small")
+    if mvt != "fixed_small":
+        raise ValueError(
+            f"Unsupported model_var_type {mvt!r}: only 'fixed_small' "
+            "(gaussian_diffusion.py:91-94 equivalent) is implemented")
     sched, tmap = make_diffusion(
         dp.noise_schedule, dp.diffusion_steps, dp.get("timestep_respacing"),
         is_training=True)

@@ -48,12 +48,13 @@ zeros_init = nn.initializers.zeros
 
 def timestep_embedding(timesteps: jax.Array, dim: int,
                        max_period: float = 10000.0) -> jax.Array:
-    """Sinusoidal timestep embedding, GLIDE convention (see module
-    docstring — the reference calls this at ``unet.py:509`` without ever
-    defining it)."""
-    half = dim // 2
-    freqs = jnp.exp(-np.log(max_period)
-                    * jnp.arange(half, dtype=jnp.float32) / half)
+    """Sinusoidal timestep embedding, GLIDE convention (the reference calls
+    this at ``unet.py:509`` without ever defining it).  Frequencies come
+    from the ONE shared definition (``denoiser.timestep_freqs``, also used
+    by the fused kernel) so the three paths cannot drift."""
+    from .denoiser import timestep_freqs
+
+    freqs = timestep_freqs(dim, max_period)
     args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
     emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
     if dim % 2:

@@ -164,7 +164,7 @@ class SEResNetEncoder(nn.Module):
     def __call__(self, mel: jax.Array, train: bool
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """mel: (N, n_mels, T_spec) -> three (N, T_i, n_out) streams."""
-        x = mel[..., None].transpose(0, 1, 2, 3)              # (N, F, T, 1)
+        x = mel[..., None]                                    # (N, F, T, 1)
         x = nn.Conv(self.filters[0], (3, 3), padding=1, dtype=self.dtype,
                     name="stem_conv")(x)
         x = jax.nn.relu(x)

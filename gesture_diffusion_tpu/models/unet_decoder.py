@@ -30,7 +30,7 @@ Dtype = jnp.dtype
 zeros_init = nn.initializers.zeros
 
 
-def group_norm(x: jax.Array, name: str, dtype=None) -> nn.Module:
+def group_norm(name: str, dtype=None) -> nn.Module:
     return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name=name)
 
 
@@ -43,14 +43,14 @@ class ResBlock1D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, train: bool) -> jax.Array:
         """x: (N, T, C); emb: (N, emb_channels)."""
-        h = group_norm(x, "norm_in", self.dtype)(x)
+        h = group_norm("norm_in", self.dtype)(x)
         h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype,
                     name="conv_in")(h)
         emb_out = nn.Dense(2 * self.out_channels, dtype=self.dtype,
                            name="emb_proj")(jax.nn.silu(emb))
         scale, shift = jnp.split(emb_out[:, None, :], 2, axis=-1)
-        h = group_norm(h, "norm_out", self.dtype)(h) * (1 + scale) + shift
+        h = group_norm("norm_out", self.dtype)(h) * (1 + scale) + shift
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype,
@@ -64,16 +64,15 @@ class ResBlock1D(nn.Module):
 
 class UNetAttentionBlock(nn.Module):
     heads: int
-    encoder_channels: Optional[int] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array,
                  encoder_out: Optional[jax.Array] = None) -> jax.Array:
-        """x: (N, T, C); encoder_out: (N, T_enc, encoder_channels)."""
+        """x: (N, T, C); encoder_out: (N, T_enc, C_enc) — width inferred."""
         n, t, c = x.shape
         d_k = c // self.heads
-        h = group_norm(x, "norm", self.dtype)(x)
+        h = group_norm("norm", self.dtype)(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv.reshape(n, t, self.heads, 3 * d_k), 3, axis=-1)
         if encoder_out is not None:
@@ -92,12 +91,6 @@ class UNetAttentionBlock(nn.Module):
         return x + out
 
 
-def downsample(x: jax.Array, conv: Optional[nn.Module]) -> jax.Array:
-    if conv is not None:
-        return conv(x)
-    return nn.avg_pool(x, (2,), strides=(2,))
-
-
 class UNet1D(nn.Module):
     """Input/middle/output blocks with skip concatenation
     (``glide/unet.py:280-493``), 1-D over time."""
@@ -111,7 +104,6 @@ class UNet1D(nn.Module):
     num_heads: int = 1
     dropout: float = 0.0
     conv_resample: bool = True
-    encoder_channels: Optional[int] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -126,8 +118,8 @@ class UNet1D(nn.Module):
                               dtype=self.dtype, name=name)
 
         def attn(name):
-            return UNetAttentionBlock(self.num_heads, self.encoder_channels,
-                                      dtype=self.dtype, name=name)
+            return UNetAttentionBlock(self.num_heads, dtype=self.dtype,
+                                      name=name)
 
         h = nn.Conv(self.channel_mult[0] * mc, (3,), padding=1,
                     dtype=self.dtype, name="conv_in")(x)
@@ -166,7 +158,7 @@ class UNet1D(nn.Module):
                                     name=f"upsample_{level}")(h)
                     ds //= 2
 
-        h = group_norm(h, "norm_out", self.dtype)(h)
+        h = group_norm("norm_out", self.dtype)(h)
         h = jax.nn.silu(h)
         return nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype,
                        kernel_init=zeros_init, bias_init=zeros_init,
@@ -223,7 +215,7 @@ class UNetAttn(nn.Module):
             out_channels=self.d_out, num_res_blocks=self.n_layers,
             attention_resolutions=self.attention_resolutions,
             channel_mult=self.channel_mult, num_heads=self.heads,
-            dropout=self.dropout, encoder_channels=self.d_memory,
+            dropout=self.dropout,
             dtype=self.dtype, name="unet")(h, emb, audio, train)
         if lo or hi:
             h = h[:, lo:h.shape[1] - hi]

@@ -265,3 +265,37 @@ class TestSEBottleneck:
         got = ours.apply(variables, jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
                          train=False)
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_unknown_model_type_raises():
+    """A typo'd Model.type must not silently build the 'default'
+    architecture (reference raises at model_creation.py:160)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
+
+    cfg = DenoiserConfig(d_pose=6, d_model=64, heads=4, n_layers=1,
+                         model_type="s2g-v2")
+    model = GestureDenoiser(cfg)
+    with pytest.raises(ValueError, match="Unsupported model_type"):
+        model.init(jax.random.key(0), jnp.zeros((1, 8, 6)),
+                   jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8000)),
+                   train=False)
+
+
+def test_unsupported_model_var_type_raises():
+    """diffusion/gaussian.py implements FIXED_SMALL only; a config asking
+    for fixed_large must fail loudly, not sample with the wrong variance."""
+    from gesture_diffusion_tpu.models.factory import build_all
+    from gesture_diffusion_tpu.utils import JsonConfig
+
+    cfg = JsonConfig({"Model": {
+        "type": "s2g_v2", "d_model": 64,
+        "Decoder": {"type": "oneway_cross_attention", "heads": 4,
+                    "n_layers": 1},
+        "Diffusion": {
+            "noise_schedule": "linear", "diffusion_steps": 10,
+            "model_var_type": "fixed_large"}}})
+    with pytest.raises(ValueError, match="model_var_type"):
+        build_all(cfg, d_pose=6)
