@@ -91,7 +91,14 @@ def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
     else:
         m_idx, search = -1, 0
         while (cand := raw.find(b"MOTION", search)) >= 0:
-            if re.match(rb"MOTION\s+Frames:?", raw[cand:cand + 64]):
+            # accept Frames: anywhere on the same line (or the immediately
+            # following line for "MOTION\nFrames:") — a fixed byte window
+            # would reject heavily-padded nonstandard headers
+            line_end = raw.find(b"\n", cand)
+            next_end = (raw.find(b"\n", line_end + 1)
+                        if line_end >= 0 else -1)
+            span = raw[cand:(next_end if next_end >= 0 else len(raw))]
+            if re.match(rb"MOTION\s+Frames:?", span):
                 m_idx = cand
                 break
             search = cand + 1

@@ -50,8 +50,12 @@ def window_plan(wav_len: int, wav_sr: int, pose_fps: int,
     fully arrived — (b) implies the stream's final plan includes ``d``
     whenever (a) held at dispatch time (the shrink points lie before the
     window's own end), so neither check alone is sufficient."""
-    assert pose_seed_len < pose_window_len, (
-        "pose_seed_len must be < pose_window_len (stride would be <= 0)")
+    if not pose_seed_len < pose_window_len:
+        # user-input validation: must survive `python -O` (assert would be
+        # stripped and a seed >= window silently yields stride <= 0)
+        raise ValueError(
+            f"pose_seed_len ({pose_seed_len}) must be < pose_window_len "
+            f"({pose_window_len}) — stride would be <= 0")
     seq_len = wav_len // wav_sr * pose_fps
     stride = pose_window_len - pose_seed_len
     if seq_len == 0:
@@ -596,7 +600,10 @@ class GestureStream:
                  trans_factor: Optional[float] = None,
                  init_poses: Optional[jax.Array] = None,
                  sample_alg: str = "ddim", max_in_flight: int = 4):
-        assert pose_seed_len < pose_window_len
+        if not pose_seed_len < pose_window_len:
+            raise ValueError(
+                f"pose_seed_len ({pose_seed_len}) must be < pose_window_len "
+                f"({pose_window_len}) — stride would be <= 0")
         self.gen = generator
         self.wav_sr = wav_sr
         self.pose_dim = pose_dim

@@ -260,6 +260,16 @@ class Trainer:
             # need make_array_from_single_device_arrays over the stack
             raise NotImplementedError(
                 "steps_per_call > 1 is single-host only for now")
+        if self.steps_per_call > 1 and self.mesh is not None \
+                and batch_size % self.mesh.shape["data"]:
+            # the multi-step path assembles batches with iter_batches(mesh=
+            # None) and shards the K-stack itself — surface the divisibility
+            # misconfiguration here with iter_batches' message, not later as
+            # an opaque device_put sharding error inside _flush_multi
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"{self.mesh.shape['data']} (1 hosts x data axis "
+                f"{self.mesh.shape['data']})")
         self._train_multi = (make_train_multi_step(
             model, sched, optimizer, self.loss_params,
             grad_norm_clip_value, grad_clip_value)

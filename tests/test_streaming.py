@@ -169,8 +169,9 @@ class TestStreamEqualsOffline:
             np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
     def test_seed_ge_window_rejected(self):
+        # ValueError (not assert) so the check survives `python -O`
         from gesture_diffusion_tpu.generation.generator import window_plan
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError, match="stride would be <= 0"):
             window_plan(SR, SR, FPS, T_POSE, T_POSE)
 
     def test_sub_second_audio_empty_output(self, gen):

@@ -196,6 +196,17 @@ class TestMultiStep:
         assert [r["train/step"] for r in recs] == list(range(8))
         assert all(np.isfinite(r["train/loss"]) for r in recs)
 
+    def test_steps_per_call_indivisible_batch_rejected(self, small_setup,
+                                                       tmp_path):
+        """The multi-step path shards the K-stack itself (iter_batches with
+        mesh=None), so Trainer.__init__ must surface a batch_size that does
+        not divide the mesh data axis up front instead of an opaque
+        device_put sharding error inside _flush_multi."""
+        model, sched = small_setup
+        with pytest.raises(ValueError, match="not divisible"):
+            _make_trainer(model, sched, tmp_path / "bad", batch_size=6,
+                          steps_per_call=2)
+
 
 class TestBatchStatsSharding:
     def test_params_replicated_batch_sharded(self, small_setup, tmp_path):
