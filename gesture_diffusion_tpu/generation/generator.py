@@ -127,6 +127,7 @@ class Generator:
         self.last_sample_path = None
         self._fused_packed = None
         self._fused_prep = None
+        self._fused_prep_key = None
         self._fused_key = None
 
     def update_variables(self, variables: dict) -> None:
@@ -178,13 +179,22 @@ class Generator:
             self._fused_ddpm_coefs = jnp.asarray(
                 fs.ddpm_coefficients(self.sched))
 
+        if self._fused_prep is None or \
+                self._fused_prep_key != (pose_dim, pose_window_len):
+            # cached separately from the packed weights: the prep programs
+            # take `variables` as a TRACED argument (emb_mem read inside the
+            # trace, not closed over), so an update_variables weight swap
+            # hits the existing compiled program instead of paying a fresh
+            # ~minutes XLA compile per swap on this host
+            self._fused_prep_key = (pose_dim, pose_window_len)
+
             from ..models.attention import sinusoidal_position_encoding
 
             pe = jnp.asarray(
                 sinusoidal_position_encoding(5000, cfg.d_model))
-            emm = self.variables["params"]["decoder"]["emb_mem"]
 
             def memory_rows(variables, wavs):
+                emm = variables["params"]["decoder"]["emb_mem"]
                 speech = self.model.apply(
                     variables, wavs, train=False,
                     method=GestureDenoiser.encode_memory)

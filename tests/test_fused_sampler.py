@@ -49,6 +49,33 @@ def test_fused_matches_scan_with_inpaint_ramp(setup):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+def test_update_variables_keeps_prep_program(setup):
+    """Weight swaps must NOT rebuild the fused memory-prep jits: they take
+    `variables` as a traced argument (emb_mem read inside the trace, not
+    closed over), so a swap reuses the existing compiled prep program
+    instead of paying a fresh multi-minute XLA compile per swap — and the
+    new weights must still flow through to the output."""
+    _, gen_fused = setup
+    old_vars = gen_fused.variables
+    noise = jax.random.normal(jax.random.key(21), (N, T, D_POSE))
+    try:
+        a = gen_fused.generate_sample(WAV, D_POSE, T, jax.random.key(22),
+                                      noise=noise)
+        prep, prep_rng = gen_fused._fused_prep, gen_fused._fused_prep_rng
+        assert prep is not None
+        perturbed = jax.tree.map(lambda x: x + 0.05, old_vars["params"])
+        gen_fused.update_variables(
+            {"params": perturbed,
+             **{k: v for k, v in old_vars.items() if k != "params"}})
+        b = gen_fused.generate_sample(WAV, D_POSE, T, jax.random.key(22),
+                                      noise=noise)
+        assert gen_fused._fused_prep is prep
+        assert gen_fused._fused_prep_rng is prep_rng
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+    finally:
+        gen_fused.update_variables(old_vars)
+
+
 def test_fused_hard_seed_copies(setup):
     _, gen_fused = setup
     seeds = jnp.asarray(np.random.default_rng(6).normal(
