@@ -1,4 +1,5 @@
 from .avi import read_avi_structure, write_avi
+from .mocap_player import nb_play_mocap, render_mocap_player_html
 from .pose2bvh import (
     pose2bvh,
     pose2bvh_consistent,
@@ -7,4 +8,5 @@ from .pose2bvh import (
 )
 
 __all__ = ["pose2bvh", "pose2bvh_consistent", "sample2bvh_batch",
-           "butter_lowpass_filter", "write_avi", "read_avi_structure"]
+           "butter_lowpass_filter", "write_avi", "read_avi_structure",
+           "nb_play_mocap", "render_mocap_player_html"]

@@ -295,6 +295,49 @@ class TestStickFigures:
         assert len(ax.collections) == len(subset)
         plt.close(ax.figure)
 
+    def test_nb_play_mocap(self, tmp_path):
+        """Self-contained HTML player (pymo/viz_tools.py:192-235): data,
+        edges, and per-frame meta all inlined; mf='bvh' raises (the
+        reference branch is a NameError defect)."""
+        import numpy as np
+
+        from gesture_diffusion_tpu.data import mocap_transforms as mt
+        from gesture_diffusion_tpu.data.bvh import parse_bvh
+        from gesture_diffusion_tpu.export import nb_play_mocap
+
+        gold = os.path.join(os.path.dirname(__file__), "golden",
+                            "synth_fullbody.bvh")
+        track = parse_bvh(gold)
+        pos = mt.MocapParameterizer("position").fit(0).transform([track])[0]
+
+        meta = np.stack([np.arange(track.n_frames),
+                         np.arange(track.n_frames) * 2], axis=1)
+        out = nb_play_mocap(pos, "pos", meta=meta, frame_time=1 / 24,
+                            scale=2.0)
+        page = out._repr_html_() if hasattr(out, "_repr_html_") else str(out)
+        assert "<iframe" in page and "srcdoc=" in page
+        # all joints and a plausible edge list are embedded
+        for j in list(pos.joints)[:5]:
+            assert j in page
+        assert "var edges" in page and "frameTime" in page
+
+        # file-output mode writes a standalone document
+        f = tmp_path / "player.html"
+        out2 = nb_play_mocap(pos, "pos", base_url=str(f))
+        body = f.read_text()
+        assert body.startswith("<!DOCTYPE html>")
+        assert "var frames" in body
+        assert "New Window" in (out2._repr_html_()
+                                if hasattr(out2, "_repr_html_")
+                                else str(out2))
+
+        with pytest.raises(ValueError, match="bvh"):
+            nb_play_mocap(pos, "bvh")
+        # a raw euler track still renders: the root's 3 position channels
+        # are positions (reference behaviour — it filters rotations only)
+        nb_play_mocap(track, "pos", base_url=str(tmp_path / "root_only.html"))
+        assert '"Hips"' in (tmp_path / "root_only.html").read_text()
+
 
 class TestOnsetLibrosaSemantics:
     def test_onset_strength_center_compensation(self):
