@@ -3,10 +3,15 @@
 Parity with ``models/modules/resample.py:12-158``.  The uniform sampler is
 in-graph (``jax.random``) so the whole train step stays on device — the
 reference draws timesteps with host numpy every batch (``resample.py:58``).
-The loss-aware second-moment resampler keeps host-side numpy state; in the
-single-controller JAX model the "all_gather across ranks" of the reference
-(``resample.py:91-103``) is unnecessary because per-example losses are
-already global values.
+The loss-aware second-moment resampler keeps host-side numpy state (its
+weights change every batch, so baking them into the jitted step would
+retrace per step); the trainer draws timesteps with ``sample_np`` and
+feeds ``t``/``weights`` in as traced arguments.  Cross-host history sync
+mirrors the reference's ``update_with_local_losses`` all_gather
+(``resample.py:91-108``): every process contributes its addressable
+(t, loss) pairs and applies the identical concatenation, so per-host
+histories — and therefore the importance weights and the next host-side
+timestep draw — stay bit-identical on every host.
 """
 
 from __future__ import annotations
@@ -14,6 +19,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _default_allgather(x: np.ndarray):
+    """Per-process (t, loss) gather: list of every process's array, in
+    process order (identical on all hosts).  Single-process: identity."""
+    if jax.process_count() == 1:
+        return [x]
+    from jax.experimental import multihost_utils
+
+    stacked = multihost_utils.process_allgather(np.asarray(x))
+    return list(stacked)
 
 
 class UniformSampler:
@@ -24,6 +40,11 @@ class UniformSampler:
         """:return: (t indices (batch,), importance weights (batch,))."""
         t = jax.random.randint(rng, (batch,), 0, self.num_timesteps)
         return t, jnp.ones((batch,), jnp.float32)
+
+    def sample_np(self, rng: np.random.Generator, batch: int):
+        """Host-side draw (numpy), for trainers that feed t as an argument."""
+        t = rng.integers(0, self.num_timesteps, size=batch)
+        return t.astype(np.int32), np.ones((batch,), np.float32)
 
 
 class LossSecondMomentResampler:
@@ -55,6 +76,31 @@ class LossSecondMomentResampler:
         t = jax.random.choice(rng, self.num_timesteps, (batch,), p=jnp.asarray(p))
         wt = 1.0 / (self.num_timesteps * p)
         return t, jnp.asarray(wt, jnp.float32)[t]
+
+    def sample_np(self, rng: np.random.Generator, batch: int):
+        """Host-side draw: current importance weights, numpy rng.  All
+        hosts draw identically because ``update_with_local_losses`` keeps
+        their histories (hence weights and rng consumption) in lockstep."""
+        w = self.weights()
+        p = w / w.sum()
+        t = rng.choice(self.num_timesteps, size=batch, p=p)
+        wt = 1.0 / (self.num_timesteps * p)
+        return t.astype(np.int32), wt[t].astype(np.float32)
+
+    def update_with_local_losses(self, local_ts, local_losses,
+                                 allgather=None) -> None:
+        """Reference ``resample.py:91-108``: all_gather every rank's
+        (t, loss) pairs, then apply the SAME global update on every host so
+        per-host histories cannot drift.  ``allgather`` maps one host-local
+        array to the ordered list of every process's array (injectable for
+        tests; defaults to ``jax.experimental.multihost_utils`` — identity
+        when single-process)."""
+        gather = allgather if allgather is not None else _default_allgather
+        ts = np.concatenate([np.asarray(a) for a in gather(
+            np.asarray(local_ts))])
+        losses = np.concatenate([np.asarray(a) for a in gather(
+            np.asarray(local_losses))])
+        self.update_with_all_losses(ts, losses)
 
     def update_with_all_losses(self, ts, losses) -> None:
         for t, loss in zip(np.asarray(ts).tolist(), np.asarray(losses).tolist()):

@@ -61,11 +61,25 @@ def assemble_losses(
     t: jax.Array,                # (N,)
     noise: jax.Array,
     loss_params: Optional[Dict[str, float]] = None,
+    weights: Optional[jax.Array] = None,
+    with_per_example: bool = False,
 ) -> Dict[str, jax.Array]:
-    """Total loss + per-term scalars (keys match the reference's wandb keys)."""
+    """Total loss + per-term scalars (keys match the reference's wandb keys).
+
+    :param weights: optional (N,) importance weights for the denoise term
+        (loss-aware schedule sampling, reference ``trainer.py``-style
+        ``(losses * weights).mean()``); aux speed losses are batch-global
+        statistics and stay unweighted.
+    :param with_per_example: include the UNWEIGHTED per-example mse vector
+        under ``"mse_per_example"`` (consumed by
+        ``LossSecondMomentResampler.update_with_local_losses`` — pop it
+        before scalar logging)."""
     returns = training_losses(sched, model_fn, x_start, t, noise)
-    denoise = returns["mse"].mean()
+    mse = returns["mse"]
+    denoise = (mse * weights).mean() if weights is not None else mse.mean()
     losses = {"loss": denoise, "denoise": denoise}
+    if with_per_example:
+        losses["mse_per_example"] = mse
 
     for name, weight in (loss_params or {}).items():
         pred_x_start = returns["pred_x_start"]

@@ -83,12 +83,23 @@ def _train_step_body(
     loss_params: Optional[Dict[str, float]],
     grad_norm_clip_value: Optional[float] = None,
     grad_clip_value: Optional[float] = None,
+    external_timesteps: bool = False,
 ):
-    def train_step(state: TrainState, batch, rng):
+    """:param external_timesteps: take ``(t, weights)`` as extra traced
+    arguments instead of drawing t uniformly in-graph — the loss-aware
+    schedule sampler (reference ``resample.py:60-108``) keeps mutating
+    host-side importance weights, so its draws must happen on the host and
+    flow in as data; the step then returns the unweighted per-example mse
+    (``metrics["mse_per_example"]``) for the sampler's history update."""
+
+    def train_step(state: TrainState, batch, rng, t=None, weights=None):
         rng = jax.random.fold_in(rng, state.step)
         t_rng, n_rng, d_rng = jax.random.split(rng, 3)
         poses, wav = batch["pose"], batch["wav"]
-        t = jax.random.randint(t_rng, (poses.shape[0],), 0, sched.num_timesteps)
+        if not external_timesteps:
+            t = jax.random.randint(
+                t_rng, (poses.shape[0],), 0, sched.num_timesteps)
+            weights = None
         noise = jax.random.normal(n_rng, poses.shape, poses.dtype)
         extra = _inpaint_kwargs(model, poses)
 
@@ -103,7 +114,9 @@ def _train_step_body(
                 mutated["batch_stats"] = mut["batch_stats"]
                 return out
 
-            losses = assemble_losses(sched, model_fn, poses, t, noise, loss_params)
+            losses = assemble_losses(sched, model_fn, poses, t, noise,
+                                     loss_params, weights=weights,
+                                     with_per_example=external_timesteps)
             return losses["loss"], (losses, mutated["batch_stats"])
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(
@@ -140,9 +153,11 @@ def make_train_step(
     loss_params: Optional[Dict[str, float]],
     grad_norm_clip_value: Optional[float] = None,
     grad_clip_value: Optional[float] = None,
+    external_timesteps: bool = False,
 ):
     body = _train_step_body(model, sched, optimizer, loss_params,
-                            grad_norm_clip_value, grad_clip_value)
+                            grad_norm_clip_value, grad_clip_value,
+                            external_timesteps=external_timesteps)
     return jax.jit(body, donate_argnums=(0,))
 
 
@@ -225,12 +240,22 @@ class Trainer:
         config: Optional[dict] = None,
         start_chkpt: Optional[str] = None,
         steps_per_call: int = 1,
+        schedule_sampler: Optional[str] = None,
     ):
         """:param start_chkpt: fine-tuning — initialise params from another
         run's best weights where tree paths/shapes match, keeping fresh
         inits elsewhere (reference ``model_creation.py:164-177``; its
         10x-lr-for-new-params optimizer was dead code, overwritten at :179,
-        so the operational behaviour is a plain optimizer — matched here)."""
+        so the operational behaviour is a plain optimizer — matched here).
+        :param schedule_sampler: ``None``/``"uniform"`` (default — in-graph
+        uniform t draw) or ``"loss-second-moment"``: importance-sample
+        timesteps by RMS of recent per-t losses (reference
+        ``resample.py:60-108``), drawing t host-side each step and feeding
+        the per-example losses back into the sampler history (allgathered
+        across hosts so every process keeps the identical history).  Costs
+        one host<->device round trip per step; incompatible with
+        ``steps_per_call > 1`` (the scan cannot surface per-step losses to
+        the host mid-program)."""
         assert goal in ("minimize", "maximize"), f"Unsupported goal: {goal}"
         self.model = model
         self.sched = sched
@@ -248,9 +273,25 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.rngs = RngStream(seed)
 
+        self.sampler = None
+        if schedule_sampler not in (None, "uniform"):
+            from ..diffusion.resample import create_named_schedule_sampler
+
+            if steps_per_call > 1:
+                raise ValueError(
+                    f"schedule_sampler={schedule_sampler!r} requires "
+                    "steps_per_call=1: the loss-aware sampler needs the "
+                    "per-step losses on the host between steps")
+            self.sampler = create_named_schedule_sampler(
+                schedule_sampler, sched.num_timesteps)
+            # NOTE not checkpointed (the reference keeps it in-memory only
+            # too); a resume restarts the history warm-up from scratch
+            self._sampler_rng = self.rngs.numpy("schedule_sampler")
+
         self._train_step = make_train_step(
             model, sched, optimizer, self.loss_params,
-            grad_norm_clip_value, grad_clip_value)
+            grad_norm_clip_value, grad_clip_value,
+            external_timesteps=self.sampler is not None)
         # steps_per_call > 1: scan K steps inside one program (per-dispatch
         # overhead paid once per K; same numerics as K single steps)
         self.steps_per_call = max(1, int(steps_per_call))
@@ -364,16 +405,48 @@ class Trainer:
                     pending = []
                 continue
             step = self._step
-            self.state, metrics = self._train_step(self.state, batch, rng)
+            self.state, metrics = self._dispatch_step(batch, rng)
             self._step += 1
             self._log_train(step, metrics)
         # a short tail runs through the single-step path (same numerics)
         for batch in pending:
             step = self._step
-            self.state, metrics = self._train_step(
-                self.state, shard_batch(batch, self.mesh), rng)
+            self.state, metrics = self._dispatch_step(
+                shard_batch(batch, self.mesh), rng)
             self._step += 1
             self._log_train(step, metrics)
+
+    def _dispatch_step(self, batch, rng):
+        """One train step; with a loss-aware sampler active, draw t on the
+        host, feed (t, weights) in, and feed the per-example losses back."""
+        if self.sampler is None:
+            return self._train_step(self.state, batch, rng)
+        t_np, w_np = self.sampler.sample_np(
+            self._sampler_rng, int(batch["pose"].shape[0]))
+        state, metrics = self._train_step(
+            self.state, batch, rng, jnp.asarray(t_np), jnp.asarray(w_np))
+        self._update_sampler(t_np, metrics.pop("mse_per_example"))
+        return state, metrics
+
+    def _update_sampler(self, t_np: np.ndarray, per_example_loss) -> None:
+        """Sampler history update, reference ``resample.py:91-108``.
+
+        Multihost: the (N,) per-example loss vector is globally sharded —
+        each process reads only its addressable shards and pairs them with
+        the matching rows of t (host-computed, so every host knows the full
+        vector); ``update_with_local_losses`` then allgathers the pairs so
+        every host applies the identical global history update, keeping
+        weights — and the next host-side draw — in lockstep."""
+        if jax.process_count() == 1:
+            losses = np.asarray(jax.device_get(per_example_loss))
+            self.sampler.update_with_local_losses(t_np, losses)
+            return
+        local_ts, local_losses = [], []
+        for shard in per_example_loss.addressable_shards:
+            local_ts.append(t_np[shard.index[0]])
+            local_losses.append(np.asarray(shard.data))
+        self.sampler.update_with_local_losses(
+            np.concatenate(local_ts), np.concatenate(local_losses))
 
     def _flush_multi(self, batches, rng) -> None:
         from jax.sharding import NamedSharding, PartitionSpec

@@ -121,7 +121,8 @@ def train_model(config):
         mesh=_mesh_from_config(config),
         config=config.to_dict(),
         start_chkpt=config.Model.get("start_chkpt"),
-        steps_per_call=config.Train.get("steps_per_call", 1))
+        steps_per_call=config.Train.get("steps_per_call", 1),
+        schedule_sampler=config.Train.get("schedule_sampler"))
     steps_per_epoch = max(1, _steps_per_epoch(
         len(train_ds.as_arrays()), config.Train.batch_size))
     max_epochs = max(1, round(
