@@ -129,6 +129,7 @@ class Generator:
         self._fused_prep = None
         self._fused_prep_key = None
         self._fused_key = None
+        self._fused_xadd = None
 
     def update_variables(self, variables: dict) -> None:
         """Swap in new weights (e.g. after further training).  Use this
@@ -144,9 +145,15 @@ class Generator:
         if self.use_fused is False:
             return False
         cfg = self.model.cfg
+        # all three model types share the oneway decoder weights the kernel
+        # packs; they differ only in t-independent prep (s2g_v2 blends the
+        # speech streams, default/inpaint concat them along time) and, for
+        # inpaint, an additive conditioning term hoisted into the kernel's
+        # x_add input.  n_mem 8-alignment is checked at runtime (the
+        # time-concat memory length depends on the wav length).
         supported = (
             cfg.decoder_type == "oneway_cross_attention"
-            and cfg.model_type == "s2g_v2"
+            and cfg.model_type in ("s2g_v2", "default", "inpaint")
             and cfg.d_model % 256 == 0
         )
         if self.use_fused == "auto":
@@ -224,6 +231,26 @@ class Generator:
 
             self._fused_prep_rng = prep_memory_rng
 
+            self._fused_xadd = None
+            if cfg.model_type == "inpaint":
+                @jax.jit
+                def inpaint_xadd(variables, ip, im):
+                    # t-independent conditioning MLP, hoisted out of the
+                    # denoising loop (the scan path recomputes it per step
+                    # inside model_fn — same values, dropout off at eval)
+                    return self.model.apply(
+                        variables, ip, im,
+                        method=GestureDenoiser.inpaint_projection)
+
+                self._fused_xadd = inpaint_xadd
+
+        xadd = None
+        if cfg.model_type == "inpaint":
+            if inpaint_poses is None or inpaint_masks is None:
+                return None   # scan fallback raises the clear error
+            xadd = self._fused_xadd(self.variables, inpaint_poses,
+                                    inpaint_masks)
+
         if rng is not None:
             mem_rows, noise, seed = self._fused_prep_rng(
                 self.variables, wavs, rng)
@@ -235,7 +262,7 @@ class Generator:
         # the cached run() closure captures pose_window_len/dp_pad — key on
         # them too, or a window/pose-dim change reuses a stale closure
         key = ("exec", inpaint_poses is not None, ramp is not None, n_clips,
-               stochastic, pose_dim, pose_window_len)
+               stochastic, pose_dim, pose_window_len, xadd is not None)
         if key not in self._sample_jit:
             dp_pad = ((pose_dim + 127) // 128) * 128
             # measured on v5e: f32 compute wins at batch<=2 (VPU-bound, no
@@ -246,16 +273,23 @@ class Generator:
                 jnp.bfloat16 if n_clips > 2 else jnp.float32)
             interp = jax.default_backend() != "tpu"
 
-            def run(packed, tmap, coefs, mem_rows, noise, ip, im, rp, seed):
+            def run(packed, tmap, coefs, mem_rows, noise, ip, im, rp, seed,
+                    xadd):
                 # memory rows feed bf16 matmuls anyway — ship them in the
                 # compute dtype so the kernel block is half-size
                 mem_rows = mem_rows.astype(cd)
                 n = noise.shape[0]
                 x_T = jnp.zeros((n, pose_window_len, dp_pad)
                                 ).at[..., :pose_dim].set(noise)
+                x_add = None
+                if xadd is not None:
+                    x_add = jnp.zeros((n, pose_window_len, dp_pad)
+                                      ).at[..., :pose_dim].set(
+                        xadd.astype(jnp.float32))
                 if ip is None:
-                    blend_a = jnp.zeros((n, pose_window_len, dp_pad))
-                    blend_b = jnp.ones((n, pose_window_len, dp_pad))
+                    # identity blend: pass None so the kernel skips the
+                    # blend tensors and collapses the update epilogue
+                    blend_a = blend_b = None
                 else:
                     tf = 0.0 if rp is None else rp
                     a = (1.0 - tf) * im * ip
@@ -270,7 +304,7 @@ class Generator:
                     n_layers=cfg.n_layers, heads=cfg.heads,
                     num_steps=self.sched.num_timesteps,
                     compute_dtype=cd, interpret=interp, n_clips=n_clips,
-                    stochastic=stochastic, seed=seed)
+                    stochastic=stochastic, seed=seed, x_add=x_add)
                 return out[..., :pose_dim]
 
             self._sample_jit[key] = jax.jit(run)
@@ -278,7 +312,7 @@ class Generator:
         return self._sample_jit[key](
             self._fused_packed, self._fused_tmap, coefs,
             mem_rows, noise, inpaint_poses, inpaint_masks, ramp,
-            jnp.asarray(seed, jnp.int32))
+            jnp.asarray(seed, jnp.int32), xadd)
 
     # ------------------------------------------------------------------
     def _model_fn(self, variables, memory, inpaint_pose=None, inpaint_mask=None):

@@ -162,6 +162,17 @@ class GestureDenoiser(nn.Module):
             return self.blend_layer(z)                     # (N, T, d_model)
         return jnp.concatenate([low, mid, high], axis=1)   # (N, T_l+T_m+T_h, d)
 
+    def inpaint_projection(self, inpaint_pose: jax.Array,
+                           inpaint_mask: jax.Array) -> jax.Array:
+        """The inpaint model type's additive conditioning,
+        MLP([pose*mask ; mask]) -> (N, T, d_pose) — t-INDEPENDENT, so
+        samplers hoist it out of the denoising loop (the reference
+        recomputes it inside every step, ``models/model.py:120-166``).
+        Eval-path form: dropout is identity at ``train=False``."""
+        inp = jnp.concatenate(
+            [inpaint_pose * inpaint_mask, inpaint_mask], axis=-1)
+        return self.inpaint_proj(inp)
+
     # -- per-step denoising --------------------------------------------------
     def denoise(
         self,

@@ -294,7 +294,8 @@ def _gaussian_noise(shape):
 
 def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
                  num_steps: int, compute_dtype, n_clips: int = 1,
-                 stochastic: bool = False):
+                 stochastic: bool = False, with_xadd: bool = False,
+                 with_blend: bool = True):
     """n_mem counts PER-CLIP memory rows including the timestep token slot
     (row 0); speech rows live at 1..n_mem-1 of each clip's block.
 
@@ -302,6 +303,12 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
     projections/FF run over (n_clips*T, D) — much better MXU fill — while
     attention loops per clip (exact work, no cross-clip score waste) and
     the depthwise conv's shift matrices zero at clip boundaries.
+
+    with_xadd adds a loop-invariant (rows_x, Dp_pad) f32 tensor to the
+    diffusion state before the input projection each step — the inpaint
+    model type's t-independent conditioning MLP output (reference
+    ``models/model.py:120-166`` recomputes that MLP every denoise step;
+    here it is hoisted into the prep and enters the kernel as data).
     """
     cd = compute_dtype
 
@@ -386,7 +393,15 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
                        ).astype(cd) + bo
 
     def kernel(x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref, seed_ref,
-               blend_a_ref, blend_b_ref, *w_refs, out_ref):
+               *rest, out_ref):
+        rest = list(rest)
+        blend_a = blend_b = xadd = None
+        if with_blend:
+            blend_a = rest.pop(0)[:]
+            blend_b = rest.pop(0)[:]
+        if with_xadd:
+            xadd = rest.pop(0)[:]                 # (rows_x, Dp_pad) f32
+        w_refs = rest
         if stochastic:
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * 9973)
         p = PackedDenoiser(*w_refs)
@@ -394,8 +409,6 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         mem_buf = mem_ref[:].astype(cd)   # (n_clips*n_mem, D); slot rows @ k*n_mem
         mem_row_ids = jax.lax.broadcasted_iota(
             jnp.int32, (n_clips * n_mem, 1), 0)
-        blend_a = blend_a_ref[:]
-        blend_b = blend_b_ref[:]
         freqs = freqs_ref[:]                        # (1, D/2) f32
         if n_clips == 1:
             pe_x = p.pe_x[:].astype(cd)
@@ -430,7 +443,8 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
             mem = jnp.where(mem_row_ids % n_mem == 0,
                             jnp.broadcast_to(tok, mem_buf.shape), mem_buf)
 
-            h = jnp.dot(x.astype(cd), p.w_embx[:],
+            xin = x if xadd is None else x + xadd
+            h = jnp.dot(xin.astype(cd), p.w_embx[:],
                         preferred_element_type=jnp.float32).astype(cd) \
                 + p.b_embx[:] + pe_x
 
@@ -479,6 +493,19 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
             c1 = coef_ref[si, 1]
             c2 = coef_ref[si, 2]
             c3 = coef_ref[si, 3]
+            if not with_blend:
+                # identity blend folded OUT algebraically (scalar arithmetic
+                # is free; tensor work drops from 9 VPU ops to 3 per step):
+                #   ddim:  c2*x0_hat + c3*eps' with eps' == eps exactly
+                #          (the re-derivation (c0 x - x0_hat)/c1 inverts the
+                #          x0_hat definition when no blend intervenes)
+                #        = (c2*c0) x + (c3 - c2*c1) eps
+                #   ddpm:  c2*x0_hat + c3*x + sigma z
+                #        = (c2*c0 + c3) x - (c2*c1) eps + sigma z
+                if stochastic:
+                    return ((c2 * c0 + c3) * x - (c2 * c1) * eps
+                            + coef_ref[si, 4] * _gaussian_noise(x.shape))
+                return (c2 * c0) * x + (c3 - c2 * c1) * eps
             x0_hat = c0 * x - c1 * eps
             x0_hat = blend_a + blend_b * x0_hat
             if stochastic:
@@ -510,8 +537,10 @@ def fused_ddim_sample(
                              # rows 1.. are emb_mem(speech)+pe[1:]
     tmap: jax.Array,         # (S, 1) int32 respaced -> original timestep map
     coefs: jax.Array,        # (S, 4) f32 ddim / (S, 5) ddpm coefficients
-    blend_a: jax.Array,      # (N, T, Dp_pad) f32
-    blend_b: jax.Array,      # (N, T, Dp_pad) f32
+    blend_a: "jax.Array | None",   # (N, T, Dp_pad) f32, or None with blend_b
+    blend_b: "jax.Array | None",   # None = identity blend: the kernel skips
+                                   # the blend tensors AND collapses the
+                                   # ddim/ddpm update to 3 VPU ops per step
     n_layers: int,
     heads: int,
     num_steps: int,
@@ -520,10 +549,15 @@ def fused_ddim_sample(
     n_clips: int = 1,
     stochastic: bool = False,
     seed: "jax.Array | int" = 0,
+    x_add: "jax.Array | None" = None,
 ) -> jax.Array:
     """stochastic=True runs ancestral DDPM: coefs must come from
     ddpm_coefficients() and per-step Gaussian noise is drawn from the
-    in-kernel TPU PRNG seeded by ``seed`` (+ grid-program offset)."""
+    in-kernel TPU PRNG seeded by ``seed`` (+ grid-program offset).
+
+    x_add, when given, must be (N, T, Dp_pad) f32: a loop-invariant term
+    added to the diffusion state before the model's input projection each
+    step (inpaint model type conditioning, hoisted out of the loop)."""
     n, t_window, dp_pad = x_T.shape
     n_mem = mem_rows.shape[1]
     d_model = packed.w_emm.shape[0]
@@ -549,18 +583,29 @@ def fused_ddim_sample(
         raise ValueError(
             "stochastic=True needs the 5-column ddpm_coefficients() layout "
             f"(got {coefs.shape[1]} columns)")
+    if x_add is not None and x_add.shape != (n, t_window, dp_pad):
+        raise ValueError(
+            f"x_add shape {x_add.shape} must match x_T {(n, t_window, dp_pad)}")
+    if (blend_a is None) != (blend_b is None):
+        raise ValueError("blend_a and blend_b must both be given or both None")
+    with_blend = blend_a is not None
     if n_clips > 1:
         # pack n_clips clips per grid program as one long sequence —
         # projections/FF fill the MXU across clips
         n_prog = n // n_clips
         x_T = x_T.reshape(n_prog, n_clips * t_window, dp_pad)
         mem_rows = mem_rows.reshape(n_prog, n_clips * n_mem, d_model)
-        blend_a = blend_a.reshape(n_prog, n_clips * t_window, dp_pad)
-        blend_b = blend_b.reshape(n_prog, n_clips * t_window, dp_pad)
+        if with_blend:
+            blend_a = blend_a.reshape(n_prog, n_clips * t_window, dp_pad)
+            blend_b = blend_b.reshape(n_prog, n_clips * t_window, dp_pad)
+        if x_add is not None:
+            x_add = x_add.reshape(n_prog, n_clips * t_window, dp_pad)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     kernel = _make_kernel(n_layers, heads, t_window, n_mem, num_steps,
                           compute_dtype, n_clips=n_clips,
-                          stochastic=stochastic)
+                          stochastic=stochastic,
+                          with_xadd=x_add is not None,
+                          with_blend=with_blend)
     from ..models.denoiser import timestep_freqs
 
     freqs = timestep_freqs(d_model)[None, :]
@@ -590,17 +635,25 @@ def fused_ddim_sample(
         shared_spec(freqs),
         smem_spec(coefs),
         smem_spec(seed_arr),
-        batch_spec((rows_x, dp_pad)),            # blend_a
-        batch_spec((rows_x, dp_pad)),            # blend_b
-    ] + [shared_spec(w) for w in w_list]
+    ]
+    operands = [x_T, mem_rows, tmap, freqs, coefs, seed_arr]
+    for extra in ((blend_a, blend_b) if with_blend else ()) + (
+            (x_add,) if x_add is not None else ()):
+        in_specs.append(batch_spec((rows_x, dp_pad)))
+        operands.append(extra)
+    n_lead = len(operands)                       # refs before the weights
+    in_specs += [shared_spec(w) for w in w_list]
+    operands += w_list
 
-    def kernel_wrap(x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref, seed_ref,
-                    ba_ref, bb_ref, *wrefs_and_out):
-        *w_refs, out_ref = wrefs_and_out
+    def kernel_wrap(*refs):
+        *ins, out_ref = refs
+        lead, w_refs = ins[:n_lead], ins[n_lead:]
+        x0_ref, mem_ref, tmap_ref, freqs_ref, coef_ref, seed_ref = lead[:6]
         # strip the leading batch-block dim of per-batch refs
-        kernel(x0_ref.at[0], mem_ref.at[0], tmap_ref, freqs_ref, coef_ref,
-               seed_ref, ba_ref.at[0], bb_ref.at[0], *w_refs,
-               out_ref=out_ref.at[0])
+        args = [x0_ref.at[0], mem_ref.at[0], tmap_ref, freqs_ref, coef_ref,
+                seed_ref]
+        args += [r.at[0] for r in lead[6:]]      # blend_a/blend_b/x_add
+        kernel(*args, *w_refs, out_ref=out_ref.at[0])
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -609,5 +662,5 @@ def fused_ddim_sample(
         in_specs=in_specs,
         out_specs=batch_spec((rows_x, dp_pad)),
         interpret=interpret,
-    )(x_T, mem_rows, tmap, freqs, coefs, seed_arr, blend_a, blend_b, *w_list)
+    )(*operands)
     return out.reshape(n, t_window, dp_pad)

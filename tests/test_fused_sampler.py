@@ -180,3 +180,87 @@ def test_fused_entrypoint_validates_shapes(setup):
     with pytest.raises(ValueError, match="5-column"):
         fs.fused_ddim_sample(packed, x_T, mem, tmap, coefs, ba, bb,
                              num_steps=S, stochastic=True, **kw)
+
+
+WAV6 = jnp.asarray(np.random.default_rng(30).normal(
+    0, 0.3, (N, 6000)).astype(np.float32))  # time-concat memory: n_mem 16
+
+
+@pytest.fixture(scope="module")
+def inpaint_setup():
+    """inpaint MODEL TYPE (additive conditioning MLP + time-concat speech
+    memory) — the reference's long-sequence workhorse (model.py:120-166)."""
+    cfg = DenoiserConfig(d_pose=D_POSE, d_model=DM, heads=8, n_layers=1,
+                         model_type="inpaint", pose_seed_len=3)
+    model = GestureDenoiser(cfg)
+    seeds = jnp.asarray(np.random.default_rng(31).normal(
+        size=(N, T, D_POSE)).astype(np.float32))
+    mask = jnp.zeros((N, T, 1)).at[:, :3].set(1.0)
+    variables = model.init(jax.random.key(0), jnp.zeros((N, T, D_POSE)),
+                           jnp.zeros((N,), jnp.int32), WAV6, train=False,
+                           inpaint_pose=seeds, inpaint_mask=mask)
+    # make the zero-init conditioning MLP actually contribute
+    params = jax.tree.map(
+        lambda x: x + 0.02, variables["params"]["inpaint_proj"])
+    variables = {**variables, "params": {**variables["params"],
+                                         "inpaint_proj": params}}
+    sched, tmap = make_diffusion("linear", 100, "ddim10", is_training=False)
+    gen_scan = Generator(model, variables, sched, tmap, use_fused=False)
+    gen_fused = Generator(model, variables, sched, tmap, use_fused=True,
+                          fused_dtype=jnp.float32)
+    return gen_scan, gen_fused, seeds, mask
+
+
+def test_fused_inpaint_model_type_matches_scan(inpaint_setup):
+    """The conditioning MLP is hoisted into the kernel's x_add input; the
+    fused trajectory must match the scan path, and it must actually BE the
+    fused path (a time-concat memory misalignment falls back silently)."""
+    gen_scan, gen_fused, seeds, mask = inpaint_setup
+    noise = jax.random.normal(jax.random.key(32), (N, T, D_POSE))
+    kw = dict(noise=noise, inpaint_poses=seeds, inpaint_masks=mask,
+              trans_factor=0.5, pose_seed_len=3)
+    a = gen_scan.generate_sample(WAV6, D_POSE, T, jax.random.key(33), **kw)
+    assert gen_scan.last_sample_path == "scan"
+    b = gen_fused.generate_sample(WAV6, D_POSE, T, jax.random.key(33), **kw)
+    assert gen_fused.last_sample_path == "fused"
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    # the conditioning must matter: zeroing it changes the output
+    c = gen_scan.generate_sample(WAV6, D_POSE, T, jax.random.key(33),
+                                 noise=noise, inpaint_poses=0 * seeds,
+                                 inpaint_masks=mask, trans_factor=0.5,
+                                 pose_seed_len=3)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_fused_inpaint_clip_packed_matches(inpaint_setup):
+    gen_scan, gen_fused, seeds, mask = inpaint_setup
+    wav4 = jnp.concatenate([WAV6, WAV6[::-1]], axis=0)
+    seeds4 = jnp.concatenate([seeds, seeds * 0.5], axis=0)
+    mask4 = jnp.concatenate([mask, mask], axis=0)
+    noise = jax.random.normal(jax.random.key(34), (4, T, D_POSE))
+    kw = dict(noise=noise, inpaint_poses=seeds4, inpaint_masks=mask4)
+    a = gen_scan.generate_sample(wav4, D_POSE, T, jax.random.key(35), **kw)
+    b = gen_fused.generate_sample(wav4, D_POSE, T, jax.random.key(35), **kw)
+    assert gen_fused.last_sample_path == "fused"
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_fused_default_model_type_matches_scan():
+    """model_type='default' (time-concat memory, no conditioning) through
+    the fused path."""
+    cfg = DenoiserConfig(d_pose=D_POSE, d_model=DM, heads=8, n_layers=1,
+                         model_type="default")
+    model = GestureDenoiser(cfg)
+    variables = model.init(jax.random.key(40), jnp.zeros((N, T, D_POSE)),
+                           jnp.zeros((N,), jnp.int32), WAV6, train=False)
+    sched, tmap = make_diffusion("linear", 100, "ddim10", is_training=False)
+    gen_scan = Generator(model, variables, sched, tmap, use_fused=False)
+    gen_fused = Generator(model, variables, sched, tmap, use_fused=True,
+                          fused_dtype=jnp.float32)
+    noise = jax.random.normal(jax.random.key(41), (N, T, D_POSE))
+    a = gen_scan.generate_sample(WAV6, D_POSE, T, jax.random.key(42),
+                                 noise=noise)
+    b = gen_fused.generate_sample(WAV6, D_POSE, T, jax.random.key(42),
+                                  noise=noise)
+    assert gen_fused.last_sample_path == "fused"
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
