@@ -1,7 +1,13 @@
 """End-to-end CLI smoke: all six phases through main.py on synthetic data.
 
 Runs in-process (imports main) on the CPU mesh to avoid a fresh jax init
-per phase; uses a scratch copy of the smoke config with a tmp workspace.
+per phase.  Parameterized over BOTH shipped experiment configs —
+``beat-ours.json`` (s2g_v2 + oneway decoder + noamxf + log_rot) and
+``tedexp-ours.json`` (default model + cross_attention decoder + noam +
+euler) — loading the REAL files and overriding only sizes/paths, so a
+stale key or schema drift in either shipped config fails the suite (the
+reference shipped a ``tedexp-ours.json`` its own factory could not read,
+SURVEY.md defects).
 """
 
 import json
@@ -18,17 +24,54 @@ import main as cli  # noqa: E402
 from gesture_diffusion_tpu.utils import JsonConfig  # noqa: E402
 
 
-@pytest.fixture(scope="module")
-def config(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("cli")
+def _deep_merge(dst: dict, src: dict) -> dict:
+    for key, value in src.items():
+        if isinstance(value, dict) and isinstance(dst.get(key), dict):
+            _deep_merge(dst[key], value)
+        else:
+            dst[key] = value
+    return dst
+
+
+# scale-down overrides only: every shape-defining key (model type, decoder
+# type, representation, scheduler type, fps/window/stride, Generate block)
+# comes from the shipped config under test
+_SCALE_DOWN = {
+    "Data": {"synthetic": {"n_train": 8, "n_val": 4, "n_test": 4,
+                           "seconds": 4, "n_joints": 4},
+             "sample_duration": 4.0},
+    "Model": {"d_model": 32,
+              "Decoder": {"heads": 4, "n_layers": 1},
+              "Diffusion": {"diffusion_steps": 50,
+                            "timestep_respacing": "ddim10"}},
+    "Train": {"batch_size": 8, "max_training_steps": "10",
+              "early_stop_threshold_in_step": "10"},
+}
+
+
+@pytest.fixture(scope="module", params=["beat-ours.json", "tedexp-ours.json"])
+def config(request, tmp_path_factory):
+    name = request.param
+    tmp = tmp_path_factory.mktemp(name.replace(".json", ""))
     with open(os.path.join(os.path.dirname(__file__), "..", "configs",
-                           "smoke.json")) as f:
+                           name)) as f:
         raw = json.load(f)
+    _deep_merge(raw, _SCALE_DOWN)
     raw["Data"]["spt_dir_path"] = str(tmp / "spt")
     raw["Data"]["dst_dir_path"] = str(tmp / "dst")
+    # synthetic data is not the BEAT 41-joint skeleton: the dir-vec
+    # converter path (hierarchy_path + joints) needs the real corpus
+    raw["Data"].pop("hierarchy_path", None)
+    raw["Data"].pop("joints", None)
+    if raw["Train"].get("Scheduler", {}).get("d_model"):
+        raw["Train"]["Scheduler"]["d_model"] = 32
+    if raw.get("Eval", {}).get("fgd"):
+        raw["Eval"]["fgd"].update({
+            "eval_net_path": str(tmp / "dst" / "fgd_ae.msgpack"),
+            "latent_dim": 8, "train_steps": 60})
     raw["Meta"] = {"project": "smoke", "log_dir": str(tmp / "log"),
                    "name": "smoke", "seed": 0}
-    cfg_path = str(tmp / "smoke.json")
+    cfg_path = str(tmp / name)
     with open(cfg_path, "w") as f:
         json.dump(raw, f)
     cfg = JsonConfig(cfg_path)
@@ -53,6 +96,8 @@ def test_phases_end_to_end(config):
     with open(os.path.join(log_dir, "results", "eval_results.json")) as f:
         results = json.load(f)
     assert np.isfinite(results["test/total_bpd"])
+    if config.get("Eval") and config.Eval.get("fgd"):
+        assert np.isfinite(results["test/fgd"])
     with open(os.path.join(log_dir, "results", "generated.pkl"), "rb") as f:
         gen = pickle.load(f)
     assert gen["out"].shape == gen["pose"].shape
@@ -63,7 +108,8 @@ def test_phases_end_to_end(config):
     sample_path = os.path.join(log_dir, "results", "samples", "sample_0.pkl")
     with open(sample_path, "rb") as f:
         sample = pickle.load(f)
-    assert sample["out"].shape == (80, 12)  # 4 s @ 20 fps
+    n_frames = int(config.Data.synthetic.seconds * config.Data.pose_fps)
+    assert sample["out"].shape == (n_frames, 12)
     assert np.isfinite(sample["out"]).all()
 
 
