@@ -100,7 +100,59 @@ def measure_ours(repetitions: int = 30, warmup: int = 5):
     outs = [gen50.generate_sample(wav, D_POSE, WINDOW, k) for k in keys]
     jax.block_until_ready(outs)
     t_pipe = (time.perf_counter() - t0) * 1e3 / len(keys)
-    return t1, t64, ts, t_pipe, headline_path, fused_max_rel_dev
+
+    # eval-phase bpd: the most expensive reference phase (SURVEY §3.4) —
+    # full 1000-timestep variational-bound scan, batch 64, one number the
+    # rounds can track.  Single dependent call, blocked (the loop output
+    # feeds nothing, so p50 of 3 sequential calls is honest wall time).
+    poses64 = jnp.asarray(np.random.default_rng(3).normal(
+        size=(64, WINDOW, D_POSE)).astype(np.float32))
+    out = gen.eval_bpd(poses64, wav64, jax.random.key(9))
+    jax.block_until_ready(out)
+    reps = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = gen.eval_bpd(poses64, wav64, jax.random.key(10 + i))
+        jax.block_until_ready(out)
+        reps.append((time.perf_counter() - t0) * 1e3)
+    t_bpd = float(np.median(reps))
+    return t1, t64, ts, t_pipe, t_bpd, headline_path, fused_max_rel_dev
+
+
+def measure_prep_parse(n_reps: int = 3):
+    """Prep-phase BVH parse throughput (MB/s), host-side: one synthetic
+    60 s / 120 fps / 51-joint recording (~10 MB of motion floats — the
+    BEAT corpus file shape), parsed with data/bvh.py::parse_bvh (native C
+    bulk float pass when built, numpy fallback otherwise)."""
+    from gesture_diffusion_tpu.data.bvh import parse_bvh
+
+    rng = np.random.default_rng(0)
+    lines = ["HIERARCHY", "ROOT j0", "{", "\tOFFSET 0.0 0.0 0.0",
+             "\tCHANNELS 6 Xposition Yposition Zposition "
+             "Zrotation Xrotation Yrotation"]
+    n_joints = 51
+    for j in range(1, n_joints):
+        ind = "\t" * j
+        lines += [f"{ind}JOINT j{j}", ind + "{",
+                  f"{ind}\tOFFSET 1.0 0.0 0.0",
+                  f"{ind}\tCHANNELS 3 Zrotation Xrotation Yrotation"]
+    lines += ["\t" * n_joints + "End Site", "\t" * n_joints + "{",
+              "\t" * n_joints + "\tOFFSET 1.0 0.0 0.0",
+              "\t" * n_joints + "}"]
+    lines += ["\t" * j + "}" for j in range(n_joints - 1, -1, -1)]
+    n_frames, n_cols = 7200, 6 + 3 * (n_joints - 1)
+    motion = rng.uniform(-180, 180, (n_frames, n_cols)).astype(np.float32)
+    text = "\n".join(lines) + (
+        f"\nMOTION\nFrames: {n_frames}\nFrame Time: 0.008333\n")
+    text += "\n".join(" ".join(f"{v:.6f}" for v in row) for row in motion)
+    mb = len(text.encode()) / 1e6
+    times = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        data = parse_bvh(text, is_text=True)
+        times.append(time.perf_counter() - t0)
+    assert data.values.shape == (n_frames, n_cols)
+    return mb / float(np.median(times))
 
 
 def measure_train_step(n_steps: int = 20, warmup: int = 3):
@@ -173,8 +225,9 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline_sps = json.load(f).get("reference_steps_per_sec")
 
-    t1, t64, ts, t_pipe, path, fused_dev = measure_ours()
+    t1, t64, ts, t_pipe, t_bpd, path, fused_dev = measure_ours()
     train_ms, train_ms_scan = measure_train_step()
+    prep_mbps = measure_prep_parse()
     # p50 headline: the tunnel-attached chip shows ~±10% run-to-run spread
     # (PERF.md); the median of 30 reps is stable where a mean of 10 was one
     # draw.  p50/min/mean all reported so round deltas are attributable.
@@ -209,6 +262,8 @@ def main():
                                   if fused_dev is not None else None),
             "train_step_ms_b64": round(train_ms, 2),
             "train_step_ms_b64_scan8": round(train_ms_scan, 2),
+            "bpd_ms_b64": round(t_bpd, 2),
+            "prep_parse_MBps": round(prep_mbps, 1),
             "baseline_reference_steps_per_sec_torch_cpu": baseline_sps,
         },
     }
