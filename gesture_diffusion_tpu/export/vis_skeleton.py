@@ -65,11 +65,12 @@ def make_skeleton_video(
     wav_sr: int = 16000,
     lim: float = 100.0,
 ) -> str:
-    """Animate the skeleton.  .avi muxes the audio into the file (MJPEG +
-    PCM, reference ``vis_skeleton.py:283-339`` equivalent); .gif uses the
-    pillow writer; otherwise a directory of PNG frames.  For non-avi
-    outputs audio (if given) is saved next to it as .wav.  Returns the
-    path written."""
+    """Animate the skeleton.  .mp4 and .avi mux the audio into the file
+    (MJPEG + PCM; .mp4 is the reference's container,
+    ``vis_skeleton.py:283-339``, written by the native ISO-BMFF muxer in
+    export/mp4.py — no ffmpeg); .gif uses the pillow writer; otherwise a
+    directory of PNG frames.  For other outputs audio (if given) is saved
+    next to it as .wav.  Returns the path written."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -89,9 +90,7 @@ def make_skeleton_video(
                     [pos[p, 1], pos[c, 1]], c="blue", linewidth=0.5)
         ax.set_xlim(-lim, lim); ax.set_ylim(lim, -lim); ax.set_zlim(-lim, lim)
 
-    if output_path.endswith(".avi"):
-        from .avi import write_avi
-
+    if output_path.endswith((".avi", ".mp4")):
         def frames():
             for i in range(len(positions)):
                 draw(i)
@@ -103,9 +102,13 @@ def make_skeleton_video(
                 # see N aliases of the LAST frame
                 yield buf[:, :, :3].copy()
 
-        write_avi(output_path, frames(), fps=fps,
-                  audio=None if wav is None else np.asarray(wav),
-                  sample_rate=wav_sr)
+        if output_path.endswith(".mp4"):
+            from .mp4 import write_mp4 as writer
+        else:
+            from .avi import write_avi as writer
+        writer(output_path, frames(), fps=fps,
+               audio=None if wav is None else np.asarray(wav),
+               sample_rate=wav_sr)
         plt.close(fig)
         return output_path
 
