@@ -151,7 +151,12 @@ def measure_prep_parse(n_reps: int = 3):
         t0 = time.perf_counter()
         data = parse_bvh(text, is_text=True)
         times.append(time.perf_counter() - t0)
-    assert data.values.shape == (n_frames, n_cols)
+    if data.values.shape != (n_frames, n_cols):
+        # if-raise, not assert: under python -O an assert would let a
+        # frame/column-dropping parse regression report a healthy MB/s
+        raise RuntimeError(
+            f"parse_bvh returned {data.values.shape}, "
+            f"expected {(n_frames, n_cols)}")
     return mb / float(np.median(times))
 
 

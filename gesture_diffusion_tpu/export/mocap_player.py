@@ -173,10 +173,21 @@ def nb_play_mocap(mocap, mf: str = "pos", meta=None,
         mocap, meta=meta, frame_time=frame_time, scale=scale,
         camera_z=camera_z)
     if base_url is not None:
-        with open(base_url, "w") as f:
+        # declared <meta charset="utf-8">: write it that way regardless of
+        # the host locale (C/cp1252 would crash or mojibake joint names)
+        with open(base_url, "w", encoding="utf-8") as f:
             f.write(page)
-        src = f'src="{_html.escape(os.path.abspath(base_url))}"'
-        link = (f'<a href="{_html.escape(os.path.abspath(base_url))}" '
+        # iframe src must stay RELATIVE to the notebook dir: the Jupyter
+        # server serves files by relative URL, while an absolute filesystem
+        # path resolves against the server origin (404) and file:// is
+        # blocked from http pages.  Fall back to the name if the path is
+        # on another drive (Windows relpath raises).
+        try:
+            rel = os.path.relpath(base_url)
+        except ValueError:
+            rel = os.path.basename(base_url)
+        src = f'src="{_html.escape(rel)}"'
+        link = (f'<a href="{_html.escape(rel)}" '
                 'target="_blank">New Window</a>')
     else:
         src = f'srcdoc="{_html.escape(page, quote=True)}"'

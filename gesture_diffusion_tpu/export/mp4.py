@@ -48,15 +48,19 @@ def _encode_jpeg(frame: np.ndarray, quality: int) -> bytes:
     return buf.getvalue()
 
 
-def _esds_jpeg(max_size: int, avg_rate: int) -> bytes:
-    """ES_Descriptor: DecoderConfig(OTI 0x6C = JPEG, streamType visual)."""
+def _esds_jpeg(max_size: int, max_rate: int, avg_rate: int) -> bytes:
+    """ES_Descriptor: DecoderConfig(OTI 0x6C = JPEG, streamType visual).
+    bufferSizeDB must hold the largest access unit (one whole JPEG frame) —
+    a strict demuxer sizes its elementary-stream buffer from it."""
 
     def desc(tag: int, payload: bytes) -> bytes:
         # expandable size, minimal encoding (payloads here are < 128)
         return bytes([tag, len(payload)]) + payload
 
-    dec_conf = desc(0x04, struct.pack(">BBBHII", 0x6C, (4 << 2) | 1,
-                                      0, 0xFFFF, avg_rate, avg_rate))
+    buffer_db = min(max(max_size, 0xFFFF), 0xFFFFFF)      # 24-bit field
+    dec_conf = desc(0x04, struct.pack(
+        ">BBBHII", 0x6C, (4 << 2) | 1,
+        buffer_db >> 16, buffer_db & 0xFFFF, max_rate, avg_rate))
     sl_conf = desc(0x06, b"\x02")
     es = desc(0x03, struct.pack(">HB", 1, 0) + dec_conf + sl_conf)
     return _full(b"esds", 0, 0, es)
@@ -149,9 +153,10 @@ def write_mp4(
     avg_rate = int(sum(len(e) for e in encoded) * 8 * fps / n)
 
     # --- video trak -----------------------------------------------------
+    max_rate = max(avg_rate, max_size * 8 * fps)   # worst frame at rate
     sample_entry = _box(b"mp4v", struct.pack(
         ">6xH16xHHII4xH32pHh", 1, w, h, 0x480000, 0x480000, 1, b"",
-        24, -1) + _esds_jpeg(max_size, avg_rate))
+        24, -1) + _esds_jpeg(max_size, max_rate, avg_rate))
     stbl = _box(b"stbl",
                 _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
                 + _sample_tables([len(e) for e in encoded], video_off, 1, n))

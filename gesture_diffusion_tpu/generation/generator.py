@@ -244,12 +244,9 @@ class Generator:
 
                 self._fused_xadd = inpaint_xadd
 
-        xadd = None
-        if cfg.model_type == "inpaint":
-            if inpaint_poses is None or inpaint_masks is None:
-                return None   # scan fallback raises the clear error
-            xadd = self._fused_xadd(self.variables, inpaint_poses,
-                                    inpaint_masks)
+        if cfg.model_type == "inpaint" and (
+                inpaint_poses is None or inpaint_masks is None):
+            return None   # scan fallback raises the clear error
 
         if rng is not None:
             mem_rows, noise, seed = self._fused_prep_rng(
@@ -258,6 +255,14 @@ class Generator:
             mem_rows = self._fused_prep(self.variables, wavs)
         if mem_rows.shape[1] % 8 != 0:
             return None  # unaligned memory length -> scan fallback
+
+        # conditioning dispatch AFTER the alignment gate: a model that
+        # permanently falls back to scan must not pay a wasted ~1 ms
+        # tunnel round trip per call for a discarded xadd
+        xadd = None
+        if cfg.model_type == "inpaint":
+            xadd = self._fused_xadd(self.variables, inpaint_poses,
+                                    inpaint_masks)
 
         # the cached run() closure captures pose_window_len/dp_pad — key on
         # them too, or a window/pose-dim change reuses a stale closure

@@ -76,6 +76,27 @@ def load_start_params(params, start_chkpt: str):
     return flax.traverse_util.unflatten_dict(flat_dst)
 
 
+def dedup_local_pairs(per_example_loss, t_np: np.ndarray):
+    """This process's (t, loss) pairs from a globally-sharded (N,) loss
+    vector, each example exactly ONCE: under DPxTP the vector is sharded
+    on "data" but REPLICATED on "model", so ``addressable_shards`` yields
+    each data-row range once per model-axis device — inserting the
+    duplicates would fill the sampler's per-timestep history at
+    model_size x rate and evict real samples early (reference semantics:
+    one history entry per example, ``resample.py:91-108``)."""
+    local_ts, local_losses, seen = [], [], set()
+    n_total = per_example_loss.shape[0]
+    for shard in per_example_loss.addressable_shards:
+        s = shard.index[0]
+        key = (s.start or 0, n_total if s.stop is None else s.stop)
+        if key in seen:
+            continue
+        seen.add(key)
+        local_ts.append(t_np[s])
+        local_losses.append(np.asarray(shard.data))
+    return np.concatenate(local_ts), np.concatenate(local_losses)
+
+
 def _train_step_body(
     model: GestureDenoiser,
     sched: Schedule,
@@ -441,12 +462,8 @@ class Trainer:
             losses = np.asarray(jax.device_get(per_example_loss))
             self.sampler.update_with_local_losses(t_np, losses)
             return
-        local_ts, local_losses = [], []
-        for shard in per_example_loss.addressable_shards:
-            local_ts.append(t_np[shard.index[0]])
-            local_losses.append(np.asarray(shard.data))
-        self.sampler.update_with_local_losses(
-            np.concatenate(local_ts), np.concatenate(local_losses))
+        local_ts, local_losses = dedup_local_pairs(per_example_loss, t_np)
+        self.sampler.update_with_local_losses(local_ts, local_losses)
 
     def _flush_multi(self, batches, rng) -> None:
         from jax.sharding import NamedSharding, PartitionSpec

@@ -327,9 +327,17 @@ class TestStickFigures:
         body = f.read_text()
         assert body.startswith("<!DOCTYPE html>")
         assert "var frames" in body
-        assert "New Window" in (out2._repr_html_()
-                                if hasattr(out2, "_repr_html_")
-                                else str(out2))
+        page2 = (out2._repr_html_() if hasattr(out2, "_repr_html_")
+                 else str(out2))
+        assert "New Window" in page2
+        # review fix: the iframe src must be RELATIVE (the Jupyter server
+        # resolves it against the notebook origin; an absolute filesystem
+        # path 404s and file:// is blocked from http pages), and the file
+        # must be UTF-8 regardless of locale (the document declares it)
+        import re
+        src = re.search(r'src="([^"]+)"', page2).group(1)
+        assert not src.startswith("/")
+        f.read_text(encoding="utf-8")
 
         with pytest.raises(ValueError, match="bvh"):
             nb_play_mocap(pos, "bvh")
@@ -473,3 +481,21 @@ class TestMp4Muxer:
 
         with pytest.raises(ValueError, match="no frames"):
             write_mp4(str(tmp_path / "x.mp4"), [], fps=10)
+
+
+def test_esds_buffer_holds_largest_frame():
+    """Review fix: bufferSizeDB must cover the largest JPEG access unit
+    (strict MPEG-4-systems demuxers size the elementary-stream buffer from
+    it) — it was hardcoded to 64 KB while skeleton frames at quality 95
+    routinely exceed that."""
+    import struct
+    from gesture_diffusion_tpu.export.mp4 import _esds_jpeg
+
+    box = _esds_jpeg(200_000, 2_000_000, 1_000_000)
+    # DecoderConfigDescriptor: OTI 0x6C, streamType byte, bufferSizeDB(24b)
+    want = bytes([0x6C, (4 << 2) | 1]) + (200_000).to_bytes(3, "big") \
+        + struct.pack(">II", 2_000_000, 1_000_000)
+    assert want in box
+    # small frames keep the 64 KB floor
+    box2 = _esds_jpeg(1000, 500, 500)
+    assert bytes([0x6C, (4 << 2) | 1, 0x00, 0xFF, 0xFF]) in box2

@@ -180,3 +180,32 @@ class TestTrainerWiring:
         assert float(per_ex.mean()) == pytest.approx(d1, rel=1e-5)
         np.testing.assert_allclose(np.asarray(m2["mse_per_example"]),
                                    per_ex, rtol=1e-6)
+
+
+def test_dedup_local_pairs_on_replicated_model_axis():
+    """Review fix: under a DPxTP mesh the (N,) per-example loss vector is
+    sharded on 'data' and REPLICATED on 'model', so addressable_shards
+    yields every data-row range model_size times; dedup_local_pairs must
+    return each example exactly once (duplicates would fill the sampler
+    history at 2x rate and evict real entries early)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from gesture_diffusion_tpu.training.trainer import dedup_local_pairs
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    losses = jnp.arange(16, dtype=jnp.float32) * 0.5
+    sharded = jax.device_put(losses,
+                             NamedSharding(mesh, PartitionSpec("data")))
+    assert len(sharded.addressable_shards) == 8   # 4 data x 2 model
+    t_np = (np.arange(16) % 4).astype(np.int32)
+    ts, ls = dedup_local_pairs(sharded, t_np)
+    # single-process: "local" = everything, each example exactly once
+    order = np.argsort(ls)
+    np.testing.assert_array_equal(np.sort(ls), np.arange(16) * 0.5)
+    np.testing.assert_array_equal(ts[order], t_np)
+
+    # fully-replicated corner (XLA may replicate small outputs entirely)
+    rep = jax.device_put(losses, NamedSharding(mesh, PartitionSpec()))
+    ts, ls = dedup_local_pairs(rep, t_np)
+    np.testing.assert_array_equal(ls, np.asarray(losses))
+    np.testing.assert_array_equal(ts, t_np)
