@@ -101,6 +101,13 @@ def measure_ours(repetitions: int = 30, warmup: int = 5):
     jax.block_until_ready(outs)
     t_pipe = (time.perf_counter() - t0) * 1e3 / len(keys)
 
+    # batch-64 at ddim50 respacing: the deployment-relevant offline number
+    # (PERF.md round-4 roofline: per-STEP cost is the architecture floor,
+    # so respacing is the sanctioned throughput lever — 20x fewer steps)
+    _, _, _, t64_50 = gen50.eval_infer_time(
+        wav64, D_POSE, WINDOW, sample_alg="ddim", repetitions=8, warmup=2,
+        return_raw=True)
+
     # eval-phase bpd: the most expensive reference phase (SURVEY §3.4) —
     # full 1000-timestep variational-bound scan, batch 64, one number the
     # rounds can track.  Single dependent call, blocked (the loop output
@@ -116,7 +123,8 @@ def measure_ours(repetitions: int = 30, warmup: int = 5):
         jax.block_until_ready(out)
         reps.append((time.perf_counter() - t0) * 1e3)
     t_bpd = float(np.median(reps))
-    return t1, t64, ts, t_pipe, t_bpd, headline_path, fused_max_rel_dev
+    return (t1, t64, t64_50, ts, t_pipe, t_bpd, headline_path,
+            fused_max_rel_dev)
 
 
 def measure_prep_parse(n_reps: int = 3):
@@ -230,7 +238,7 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline_sps = json.load(f).get("reference_steps_per_sec")
 
-    t1, t64, ts, t_pipe, t_bpd, path, fused_dev = measure_ours()
+    t1, t64, t64_50, ts, t_pipe, t_bpd, path, fused_dev = measure_ours()
     train_ms, train_ms_scan = measure_train_step()
     prep_mbps = measure_prep_parse()
     # p50 headline: the tunnel-attached chip shows ~±10% run-to-run spread
@@ -256,6 +264,11 @@ def main():
             "batch64_sec_of_gesture_per_sec": round(64 * 2.0 / (p50_64 / 1e3), 1),
             "batch64_p50_ms": round(p50_64, 2),
             "batch64_min_ms": round(float(t64.min()), 2),
+            # deployment framing: ddim50 respacing (the sanctioned
+            # throughput lever per PERF.md's per-step roofline)
+            "batch64_ddim50_p50_ms": round(float(np.median(t64_50)), 2),
+            "batch64_ddim50_sec_of_gesture_per_sec": round(
+                64 * 2.0 / (float(np.median(t64_50)) / 1e3), 1),
             "streaming_ddim50_ms_per_2s_window": round(float(np.median(ts)), 2),
             "streaming_ddim50_pipelined_ms_per_window": round(t_pipe, 2),
             # self-certification: which sampler produced the headline and
