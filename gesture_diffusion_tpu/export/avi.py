@@ -31,14 +31,20 @@ def _list(kind: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", kind + payload)
 
 
+def encode_jpeg(frame: np.ndarray, quality: int) -> bytes:
+    """(H, W, 3) uint8 RGB -> JPEG bytes (shared by the avi/mp4 muxers)."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.ascontiguousarray(frame, np.uint8)).save(
+        buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
 def _encode_frame(frame: np.ndarray, codec: str, quality: int) -> bytes:
     """(H, W, 3) uint8 RGB -> encoded chunk payload."""
     if codec == "mjpeg":
-        from PIL import Image
-
-        buf = io.BytesIO()
-        Image.fromarray(frame).save(buf, format="JPEG", quality=quality)
-        return buf.getvalue()
+        return encode_jpeg(frame, quality)
     # raw DIB: bottom-up rows, BGR, each row padded to 4 bytes
     h, w, _ = frame.shape
     bgr = frame[::-1, :, ::-1]

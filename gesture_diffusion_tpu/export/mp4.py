@@ -20,11 +20,12 @@ bottom-up pure bytes; a structural reader for tests walks the tree back.
 
 from __future__ import annotations
 
-import io
 import struct
 from typing import Iterable, List, Optional
 
 import numpy as np
+
+from .avi import encode_jpeg
 
 _MVHD_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                            0x40000000)
@@ -37,15 +38,6 @@ def _box(kind: bytes, payload: bytes) -> bytes:
 def _full(kind: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _box(kind, struct.pack(">B3s", version,
                                   flags.to_bytes(3, "big")) + payload)
-
-
-def _encode_jpeg(frame: np.ndarray, quality: int) -> bytes:
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.fromarray(np.ascontiguousarray(frame, np.uint8)).save(
-        buf, format="JPEG", quality=quality)
-    return buf.getvalue()
 
 
 def _esds_jpeg(max_size: int, max_rate: int, avg_rate: int) -> bytes:
@@ -122,7 +114,7 @@ def write_mp4(
         f = np.ascontiguousarray(f, np.uint8)
         if h is None:
             h, w, _ = f.shape
-        encoded.append(_encode_jpeg(f, quality))
+        encoded.append(encode_jpeg(f, quality))
     if not encoded:
         raise ValueError("no frames")
     n = len(encoded)
