@@ -63,3 +63,30 @@ def test_inpaint_trainer_and_generator(tmp_path):
     bpd3b = gen.eval_bpd(jnp.asarray(data["pose"][:2]), wavs,
                          jax.random.key(1), pose_seed_len=3)
     np.testing.assert_array_equal(np.asarray(bpd["vb"]), np.asarray(bpd3b["vb"]))
+
+
+def test_inpaint_generate_sequence_long_audio(tmp_path):
+    """Long-audio chunked generation with the inpaint MODEL TYPE — the
+    reference's long-sequence workhorse (model.py:120-166 + generator
+    seed-chunking): every window must feed both the conditioning MLP and
+    the x0-blend, with chunk i seeded from chunk i-1's tail."""
+    rng = np.random.default_rng(3)
+    cfg = DenoiserConfig(d_pose=6, d_model=32, heads=4, n_layers=1,
+                         model_type="inpaint", pose_seed_len=3)
+    model = GestureDenoiser(cfg)
+    wav0 = jnp.asarray(rng.normal(0, 0.3, (1, 8000)).astype(np.float32))
+    seeds = jnp.asarray(rng.normal(size=(1, 8, 6)).astype(np.float32))
+    mask = jnp.zeros((1, 8, 1)).at[:, :3].set(1.0)
+    variables = model.init(jax.random.key(4), jnp.zeros((1, 8, 6)),
+                           jnp.zeros((1,), jnp.int32), wav0, train=False,
+                           inpaint_pose=seeds, inpaint_mask=mask)
+    eval_sched, tmap = make_diffusion("linear", 20, "ddim5",
+                                      is_training=False)
+    gen = Generator(model, variables, eval_sched, tmap)
+    long_wav = jnp.asarray(rng.normal(0, 0.3, (1, 32000)).astype(np.float32))
+    seq = gen.generate_sequence(
+        long_wav, 16000, 6, 16, 8, 3, rng=jax.random.key(5),
+        smooth_trans=True, trans_factor=0.5,
+        init_poses=seeds[:, :3])
+    assert seq.shape == (1, 32, 6)        # 2 s @ 16 fps
+    assert np.isfinite(np.asarray(seq)).all()
