@@ -90,3 +90,35 @@ def test_inpaint_generate_sequence_long_audio(tmp_path):
         init_poses=seeds[:, :3])
     assert seq.shape == (1, 32, 6)        # 2 s @ 16 fps
     assert np.isfinite(np.asarray(seq)).all()
+
+
+def test_inpaint_stream_matches_offline():
+    """Streaming with the inpaint MODEL TYPE: every window (including the
+    first, seeded from init_poses) must feed the conditioning MLP, and the
+    pushed-chunk output must equal offline generate_sequence on the same
+    audio and rng (the GestureStream bit-equality contract)."""
+    rng = np.random.default_rng(6)
+    cfg = DenoiserConfig(d_pose=6, d_model=32, heads=4, n_layers=1,
+                         model_type="inpaint", pose_seed_len=3)
+    model = GestureDenoiser(cfg)
+    wav0 = jnp.asarray(rng.normal(0, 0.3, (1, 8000)).astype(np.float32))
+    seeds = jnp.asarray(rng.normal(size=(1, 8, 6)).astype(np.float32))
+    mask = jnp.zeros((1, 8, 1)).at[:, :3].set(1.0)
+    variables = model.init(jax.random.key(7), jnp.zeros((1, 8, 6)),
+                           jnp.zeros((1,), jnp.int32), wav0, train=False,
+                           inpaint_pose=seeds, inpaint_mask=mask)
+    eval_sched, tmap = make_diffusion("linear", 20, "ddim5",
+                                      is_training=False)
+    gen = Generator(model, variables, eval_sched, tmap)
+    long_wav = jnp.asarray(rng.normal(0, 0.3, (1, 32000)).astype(np.float32))
+    kw = dict(smooth_trans=True, trans_factor=0.5, init_poses=seeds[:, :3])
+    offline = gen.generate_sequence(long_wav, 16000, 6, 16, 8, 3,
+                                    rng=jax.random.key(8), **kw)
+    stream = gen.stream(16000, 6, 16, 8, 3, rng=jax.random.key(8), **kw)
+    chunks = []
+    audio = np.asarray(long_wav)
+    for lo in range(0, audio.shape[1], 5000):   # ragged pushes
+        chunks += stream.push(audio[:, lo:lo + 5000])
+    chunks += stream.flush()
+    got = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    np.testing.assert_array_equal(got, np.asarray(offline))
