@@ -176,10 +176,11 @@ def write_mp4(
         traks += _box(b"trak", _tkhd(2, dur_a, volume=0x0100) + mdia_a)
         duration_mv = max(duration_mv, dur_a)
 
+    next_track = 3 if pcm is not None else 2
     mvhd = _full(b"mvhd", 0, 0, struct.pack(
         ">IIII", 0, 0, movie_timescale, duration_mv)
         + struct.pack(">iH10x", 0x10000, 0x0100) + _MVHD_MATRIX
-        + struct.pack(">24xI", 3))
+        + struct.pack(">24xI", next_track))
     moov = _box(b"moov", mvhd + traks)
 
     with open(path, "wb") as f:

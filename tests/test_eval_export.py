@@ -499,3 +499,28 @@ def test_esds_buffer_holds_largest_frame():
     # small frames keep the 64 KB floor
     box2 = _esds_jpeg(1000, 500, 500)
     assert bytes([0x6C, (4 << 2) | 1, 0x00, 0xFF, 0xFF]) in box2
+
+
+def test_mp4_stereo_audio_sample_tables():
+    """Stereo PCM: sowt channelcount 2, 4-byte samples, full mdat span."""
+    import tempfile
+
+    import numpy as np
+
+    from gesture_diffusion_tpu.export.mp4 import (read_mp4_structure,
+                                                  write_mp4)
+
+    rng = np.random.default_rng(5)
+    frames = [(rng.random((16, 16, 3)) * 255).astype(np.uint8)
+              for _ in range(3)]
+    stereo = rng.normal(0, 0.2, (1600, 2)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        p = write_mp4(d + "/s.mp4", frames, fps=10, audio=stereo,
+                      sample_rate=8000)
+        info = read_mp4_structure(p)
+        aud = info["traks"][1]
+        assert aud["n_samples"] == 1600
+        assert aud["sizes"][0] == 4                   # 2ch x int16
+        assert aud["timescale"] == 8000
+        lo, hi = info["mdat_range"]
+        assert aud["chunk_offset"] + 1600 * 4 == hi
