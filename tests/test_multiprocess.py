@@ -1,0 +1,178 @@
+"""REAL multi-process SPMD integration: two jax.distributed CPU processes
+(2 local devices each -> one 4-device global mesh) exercising the paths the
+rest of the suite can only simulate single-process with injected gathers /
+process_count arguments:
+
+  * ``LossSecondMomentResampler.update_with_local_losses`` with the real
+    ``multihost_utils.process_allgather`` — per-host histories must come out
+    bit-identical and equal to the global update (reference
+    ``resample.py:91-108`` semantics);
+  * ``iter_batches(mesh=...)`` multihost batch assembly + one
+    ``make_train_step`` DP train step on the global mesh — both processes
+    must see the same finite loss, equal to a single-process run of the
+    identical batch.
+
+Workers are spawned as subprocesses (coordinator on a dynamically-bound
+free port); each prints machine-checkable lines the parent asserts on.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json
+import os
+import sys
+
+import numpy as np
+
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=proc_id,
+                           local_device_ids=[0, 1])
+sys.path.insert(0, %(repo)r)
+import jax.numpy as jnp
+import optax
+
+from gesture_diffusion_tpu.diffusion import make_schedule, linear_betas
+from gesture_diffusion_tpu.diffusion.resample import LossSecondMomentResampler
+from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
+from gesture_diffusion_tpu.parallel import make_mesh, replicate
+from gesture_diffusion_tpu.training import (ArrayDataset, TrainState,
+                                            init_opt_state, make_train_step)
+from gesture_diffusion_tpu.training.data import iter_batches
+
+# --- 1. history sync through the REAL process_allgather ------------------
+s = LossSecondMomentResampler(4, history_per_term=2)
+ts = np.asarray([proc_id, proc_id + 2], np.int32)
+losses = np.asarray([1.0 + proc_id, 3.0 + proc_id], np.float32)
+s.update_with_local_losses(ts, losses)
+print("HIST " + json.dumps({"p": proc_id,
+                            "hist": s._loss_history.tolist(),
+                            "counts": s._loss_counts.tolist()}), flush=True)
+
+# --- 2. multihost batch assembly + one DP train step ---------------------
+rng = np.random.default_rng(0)
+data = {"wav": rng.normal(0, 0.3, (8, 8000)).astype(np.float32),
+        "pose": rng.normal(size=(8, 6, 6)).astype(np.float32)}
+mesh = make_mesh()                       # 4 global devices, data axis 4
+model = GestureDenoiser(DenoiserConfig(d_pose=6, d_model=32, heads=4,
+                                       n_layers=1, dropout=0.0))
+batch = next(iter_batches(ArrayDataset(data), 8, shuffle=False, mesh=mesh))
+variables = model.init(jax.random.key(0),
+                       jnp.asarray(data["pose"][:2]),
+                       jnp.zeros((2,), jnp.int32),
+                       jnp.asarray(data["wav"][:2]), train=False)
+optimizer = optax.adamw(1e-3)
+params = replicate(variables["params"], mesh)
+state = TrainState(params, replicate(variables.get("batch_stats", {}), mesh),
+                   init_opt_state(optimizer, params),
+                   jnp.asarray(0, jnp.int32))
+sched = make_schedule(linear_betas(20))
+step = make_train_step(model, sched, optimizer, None)
+state2, metrics = step(state, batch, jax.random.key(1))
+jax.block_until_ready(metrics)
+print("LOSS " + json.dumps({"p": proc_id,
+                            "loss": float(jax.device_get(metrics["loss"])),
+                            "n_dev": len(jax.devices()),
+                            "n_local": len(jax.local_devices())}),
+      flush=True)
+""" % {"repo": REPO}
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_spmd_history_sync_and_train_step(tmp_path):
+    # bounded by the workers' communicate(timeout=540) below — no
+    # pytest-timeout dependency in this environment
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        outs.append(out)
+
+    hists, the_losses = {}, {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("HIST "):
+                rec = json.loads(line[5:])
+                hists[rec["p"]] = rec
+            elif line.startswith("LOSS "):
+                rec = json.loads(line[5:])
+                the_losses[rec["p"]] = rec
+    assert set(hists) == {0, 1} and set(the_losses) == {0, 1}
+
+    # per-host histories identical AND equal to the known global update:
+    # p0 contributed (t=0, 1.0), (t=2, 3.0); p1 (t=1, 2.0), (t=3, 4.0)
+    assert hists[0]["hist"] == hists[1]["hist"]
+    assert hists[0]["counts"] == [1, 1, 1, 1]
+    got = [row[0] for row in hists[0]["hist"]]
+    assert got == [1.0, 2.0, 3.0, 4.0]
+
+    # both processes computed the same global train-step loss on the
+    # 2-host x 2-device mesh...
+    assert the_losses[0]["n_dev"] == 4 and the_losses[0]["n_local"] == 2
+    l0, l1 = the_losses[0]["loss"], the_losses[1]["loss"]
+    assert np.isfinite(l0)
+    assert l0 == pytest.approx(l1, rel=1e-6)
+
+    # ...equal (to reduction-order noise) to a single-process run of the
+    # identical batch on this process's virtual 8-device mesh
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gesture_diffusion_tpu.diffusion import linear_betas, make_schedule
+    from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
+    from gesture_diffusion_tpu.parallel import make_mesh, replicate, shard_batch
+    from gesture_diffusion_tpu.training import (TrainState, init_opt_state,
+                                                make_train_step)
+
+    rng = np.random.default_rng(0)
+    data = {"wav": rng.normal(0, 0.3, (8, 8000)).astype(np.float32),
+            "pose": rng.normal(size=(8, 6, 6)).astype(np.float32)}
+    mesh = make_mesh()
+    model = GestureDenoiser(DenoiserConfig(d_pose=6, d_model=32, heads=4,
+                                           n_layers=1, dropout=0.0))
+    batch = shard_batch(data, mesh)
+    variables = model.init(jax.random.key(0),
+                           jnp.asarray(data["pose"][:2]),
+                           jnp.zeros((2,), jnp.int32),
+                           jnp.asarray(data["wav"][:2]), train=False)
+    optimizer = optax.adamw(1e-3)
+    params = replicate(variables["params"], mesh)
+    state = TrainState(params,
+                       replicate(variables.get("batch_stats", {}), mesh),
+                       init_opt_state(optimizer, params),
+                       jnp.asarray(0, jnp.int32))
+    step = make_train_step(model, sched := make_schedule(linear_betas(20)),
+                           optimizer, None)
+    _, metrics = step(state, batch, jax.random.key(1))
+    expected = float(jax.device_get(metrics["loss"]))
+    assert l0 == pytest.approx(expected, rel=1e-4)
