@@ -90,6 +90,27 @@ print("LOSS " + json.dumps({"p": proc_id,
                             "n_dev": len(jax.devices()),
                             "n_local": len(jax.local_devices())}),
       flush=True)
+
+# --- 3. loss-aware sampler LOOP in lockstep across real processes --------
+# (the full Trainer._dispatch_step cycle: host draw -> external-timesteps
+# step -> sharded per-example losses -> dedup -> REAL allgather -> history)
+from gesture_diffusion_tpu.training.trainer import dedup_local_pairs
+
+sampler = LossSecondMomentResampler(20, history_per_term=10)
+sampler_rng = np.random.default_rng(123)   # same seed -> lockstep draws
+step_ext = make_train_step(model, sched, optimizer, None,
+                           external_timesteps=True)
+state_s = state2
+for i in range(3):
+    t_np, w_np = sampler.sample_np(sampler_rng, 8)
+    state_s, m = step_ext(state_s, batch, jax.random.fold_in(
+        jax.random.key(2), i), jnp.asarray(t_np), jnp.asarray(w_np))
+    local_ts, local_losses = dedup_local_pairs(m["mse_per_example"], t_np)
+    sampler.update_with_local_losses(local_ts, local_losses)
+print("SAMP " + json.dumps({"p": proc_id,
+                            "counts": sampler._loss_counts.tolist(),
+                            "hist_sum": float(sampler._loss_history.sum()),
+                            "w": sampler.weights().tolist()}), flush=True)
 """ % {"repo": REPO}
 
 
@@ -117,7 +138,7 @@ def test_two_process_spmd_history_sync_and_train_step(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
         outs.append(out)
 
-    hists, the_losses = {}, {}
+    hists, the_losses, samp = {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("HIST "):
@@ -126,7 +147,20 @@ def test_two_process_spmd_history_sync_and_train_step(tmp_path):
             elif line.startswith("LOSS "):
                 rec = json.loads(line[5:])
                 the_losses[rec["p"]] = rec
+            elif line.startswith("SAMP "):
+                rec = json.loads(line[5:])
+                samp[rec["p"]] = rec
     assert set(hists) == {0, 1} and set(the_losses) == {0, 1}
+    assert set(samp) == {0, 1}
+
+    # the full loss-aware sampler loop stayed in lockstep across the two
+    # real processes: identical histories/weights, and each of the 3 steps
+    # inserted every example exactly ONCE (8 examples x 3 steps = 24
+    # history entries at cap 10/bin over 20 bins — a replicated-shard
+    # dedup failure would double them)
+    for key in ("counts", "hist_sum", "w"):
+        assert samp[0][key] == samp[1][key], (key, samp)
+    assert sum(samp[0]["counts"]) == 24
 
     # per-host histories identical AND equal to the known global update:
     # p0 contributed (t=0, 1.0), (t=2, 3.0); p1 (t=1, 2.0), (t=3, 4.0)
