@@ -314,14 +314,14 @@ class Trainer:
             grad_norm_clip_value, grad_clip_value,
             external_timesteps=self.sampler is not None)
         # steps_per_call > 1: scan K steps inside one program (per-dispatch
-        # overhead paid once per K; same numerics as K single steps)
+        # overhead paid once per K; same numerics as K single steps).
+        # Multihost: every host holds the full dataset, so the multi path
+        # collects FULL GLOBAL batches (iter_batches with process_count=1 —
+        # identical on all hosts via the shared shuffle seed) and
+        # jax.device_put shards the host-replicated K-stack onto the global
+        # (None, "data") sharding; validated for real in
+        # tests/test_multiprocess.py (2 jax.distributed processes).
         self.steps_per_call = max(1, int(steps_per_call))
-        if self.steps_per_call > 1 and jax.process_count() > 1:
-            # the K-stack is assembled host-locally then device_put with a
-            # global sharding — correct only single-host; multihost would
-            # need make_array_from_single_device_arrays over the stack
-            raise NotImplementedError(
-                "steps_per_call > 1 is single-host only for now")
         if self.steps_per_call > 1 and self.mesh is not None \
                 and batch_size % self.mesh.shape["data"]:
             # the multi-step path assembles batches with iter_batches(mesh=
@@ -329,9 +329,8 @@ class Trainer:
             # misconfiguration here with iter_batches' message, not later as
             # an opaque device_put sharding error inside _flush_multi
             raise ValueError(
-                f"batch_size {batch_size} not divisible by "
-                f"{self.mesh.shape['data']} (1 hosts x data axis "
-                f"{self.mesh.shape['data']})")
+                f"batch_size {batch_size} not divisible by the mesh data "
+                f"axis {self.mesh.shape['data']}")
         self._train_multi = (make_train_multi_step(
             model, sched, optimizer, self.loss_params,
             grad_norm_clip_value, grad_clip_value)
@@ -414,11 +413,16 @@ class Trainer:
         data_rng = self.rngs.numpy("shuffle", self.epochs_run)
         multi = self.steps_per_call > 1
         pending = []
-        # multi-step: collect host batches and shard the K-stack in one
-        # placement (dims (K, N, ...), batch axis sharded)
+        # multi-step: collect FULL GLOBAL batches (host-replicated data +
+        # shared shuffle seed make them identical on every host) and shard
+        # the K-stack in one placement (dims (K, N, ...), batch axis
+        # sharded over the global mesh)
+        multi_kwargs = ({"process_count": 1, "process_index": 0}
+                        if multi else {})
         for batch in iter_batches(self.train_dataset, self.batch_size,
                                   rng=data_rng,
-                                  mesh=None if multi else self.mesh):
+                                  mesh=None if multi else self.mesh,
+                                  **multi_kwargs):
             if multi:
                 pending.append(batch)
                 if len(pending) == self.steps_per_call:

@@ -111,6 +111,32 @@ print("SAMP " + json.dumps({"p": proc_id,
                             "counts": sampler._loss_counts.tolist(),
                             "hist_sum": float(sampler._loss_history.sum()),
                             "w": sampler.weights().tolist()}), flush=True)
+
+# --- 4. full Trainer epoch with steps_per_call=2 on the 2-host mesh ------
+# (the K-stack path: full-global batch collection + host-replicated
+# device_put onto the global sharding; val epoch uses the real
+# make_array_from_single_device_arrays assembly)
+import tempfile
+
+from gesture_diffusion_tpu.training import Trainer
+
+rng2 = np.random.default_rng(77)   # same seed on both hosts
+
+data16 = {"wav": rng2.normal(0, 0.3, (16, 8000)).astype(np.float32),
+          "pose": rng2.normal(size=(16, 6, 6)).astype(np.float32)}
+trainer = Trainer(model, sched, optax.adamw(1e-3), lambda s: 1e-3,
+                  ArrayDataset(data16), ArrayDataset(data16), batch_size=8,
+                  log_dir=tempfile.mkdtemp(prefix=f"mh{proc_id}_"),
+                  seed=0, mesh=mesh, steps_per_call=2, log_step_gap=1)
+trainer.train(max_epochs=1)
+flat = np.concatenate([np.ravel(np.asarray(x))
+                       for x in jax.tree.leaves(
+                           jax.device_get(trainer.state.params))])
+print("TRAIN " + json.dumps({"p": proc_id,
+                             "steps": trainer.train_step_count,
+                             "best": float(trainer.best_metric_value),
+                             "psum": float(np.float64(flat).sum())}),
+      flush=True)
 """ % {"repo": REPO}
 
 
@@ -138,7 +164,7 @@ def test_two_process_spmd_history_sync_and_train_step(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
         outs.append(out)
 
-    hists, the_losses, samp = {}, {}, {}
+    hists, the_losses, samp, trained = {}, {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("HIST "):
@@ -150,8 +176,18 @@ def test_two_process_spmd_history_sync_and_train_step(tmp_path):
             elif line.startswith("SAMP "):
                 rec = json.loads(line[5:])
                 samp[rec["p"]] = rec
+            elif line.startswith("TRAIN "):
+                rec = json.loads(line[6:])
+                trained[rec["p"]] = rec
     assert set(hists) == {0, 1} and set(the_losses) == {0, 1}
-    assert set(samp) == {0, 1}
+    assert set(samp) == {0, 1} and set(trained) == {0, 1}
+
+    # full Trainer epoch with steps_per_call=2 on the real 2-host mesh:
+    # identical step counts, val metric, and final-parameter checksum
+    assert trained[0]["steps"] == trained[1]["steps"] == 2   # 16 rows / b8
+    assert np.isfinite(trained[0]["best"])
+    assert trained[0]["best"] == pytest.approx(trained[1]["best"], rel=1e-6)
+    assert trained[0]["psum"] == pytest.approx(trained[1]["psum"], rel=1e-9)
 
     # the full loss-aware sampler loop stayed in lockstep across the two
     # real processes: identical histories/weights, and each of the 3 steps
