@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -238,6 +238,70 @@ def hierarchy_channel_order(data: BvhData) -> List[Tuple[str, str]]:
 
     walk(data.joints[data.root_name])
     return order
+
+
+def ancestor_closure(data: BvhData, names: Sequence[str]) -> Set[str]:
+    """The given joints plus every ancestor up to the root."""
+    keep: Set[str] = set()
+    for name in names:
+        cur: Optional[str] = name
+        while cur is not None:
+            if cur in keep:
+                break
+            keep.add(cur)
+            cur = data.joints[cur].parent
+    return keep
+
+
+def prune_hierarchy(data: BvhData, keep: Iterable[str]) -> BvhData:
+    """Restrict the skeleton to ``keep`` joints (hierarchy-template maker).
+
+    Reproduces how the reference's shipped ``hierarchy_upper.txt`` relates
+    to its full ``hierarchy.txt`` (``/root/reference/datasets/``, verified
+    offset-exact): joints outside ``keep`` are dropped with their subtrees,
+    and a kept joint left with no children gets an End Site carrying the
+    OFFSET of its first removed child (the bone tip the viewer still needs
+    to draw).  Unlike the reference's hand-trimmed file, the synthesized
+    End Sites are well-formed (no stray CHANNELS lines — see the
+    parser's bug-compat note above).  The returned BvhData has an empty
+    MOTION block; use :func:`hierarchy_text` on it to write a template.
+    """
+    keep = set(keep)
+    if data.root_name not in keep:
+        raise ValueError(f"keep set must contain the root {data.root_name!r};"
+                         " pass ancestor_closure(data, joints)")
+    unknown = keep - set(data.joints)
+    if unknown:
+        raise ValueError(f"unknown joints in keep set: {sorted(unknown)}")
+    joints: Dict[str, BvhJoint] = {}
+    channel_names: List[Tuple[str, str]] = []
+
+    def walk(name: str) -> None:
+        j = data.joints[name]
+        kept_children = [c for c in j.children
+                         if c in keep and not data.joints[c].is_end_site]
+        new = BvhJoint(j.name, j.parent if j.parent in keep else None,
+                       j.offset.copy(), list(j.channels), j.order,
+                       children=[], is_end_site=False)
+        joints[name] = new
+        channel_names.extend((name, c) for c in j.channels)
+        if kept_children:
+            for c in kept_children:
+                new.children.append(c)
+                walk(c)
+        elif j.children:
+            # leaf after pruning: synthesize the End Site from the first
+            # dropped child (or reuse the original End Site verbatim)
+            tip = data.joints[j.children[0]]
+            nub = f"{name}_Nub"
+            joints[nub] = BvhJoint(nub, name, tip.offset.copy(), [], "",
+                                   children=[], is_end_site=True)
+            new.children.append(nub)
+
+    walk(data.root_name)
+    values = np.zeros((0, len(channel_names)), dtype=data.values.dtype)
+    return BvhData(joints, data.root_name, data.framerate, values,
+                   channel_names)
 
 
 def write_bvh(data: BvhData, path: str, fmt: str = "%.6f") -> None:

@@ -65,6 +65,50 @@ def make_synthetic_samples(config):
     print(f"[Info] Synthetic samples written to {spt}")
 
 
+def ensure_hierarchy_template(config):
+    """Generate ``Data.hierarchy_path`` from the corpus if it is missing.
+
+    The reference ships hand-trimmed skeleton templates in-tree
+    (``/root/reference/datasets/hierarchy_upper.txt``, referenced from
+    ``configs/beat-ours.json:13``); we derive the same artifact from the
+    first corpus BVH instead — the predicted-joint ancestor closure plus
+    ``Data.hierarchy_extra_joints`` (the neck chain the viewer still
+    draws), verified offset-exact against the reference template in
+    ``tests/test_data.py``.  Runs during prep and lazily before eval/gen,
+    so the repo needs no absolute paths into external trees."""
+    hier = config.Data.get("hierarchy_path")
+    if not hier or os.path.exists(hier) or config.Data.get("synthetic"):
+        return
+    import glob
+
+    from gesture_diffusion_tpu.data.bvh import (
+        ancestor_closure,
+        hierarchy_text,
+        parse_bvh,
+        prune_hierarchy,
+    )
+
+    src = config.Data.src_dir_path
+    bvh_paths = [p for hid in config.Data.human_ids
+                 for p in sorted(glob.glob(os.path.join(src, str(hid), "*.bvh")))]
+    if not bvh_paths:
+        raise FileNotFoundError(
+            f"hierarchy template {hier} does not exist and no corpus BVH "
+            f"was found under {src} to derive it from; run --phase prep "
+            "with the corpus available (or provide the file)")
+    skel = parse_bvh(bvh_paths[0])
+    joints = config.Data.get("joints")
+    if joints:
+        extra = config.Data.get("hierarchy_extra_joints", ["Neck", "Neck1"])
+        keep = ancestor_closure(skel, list(joints)) | {
+            j for j in extra if j in skel.joints}
+        skel = prune_hierarchy(skel, keep)
+    os.makedirs(os.path.dirname(os.path.abspath(hier)), exist_ok=True)
+    with open(hier, "w") as f:
+        f.write(hierarchy_text(skel))
+    print(f"[Info] Hierarchy template derived from {bvh_paths[0]} -> {hier}")
+
+
 def preprocess(config):
     if config.Data.get("synthetic"):
         make_synthetic_samples(config)
@@ -77,6 +121,7 @@ def preprocess(config):
         sample_duration=config.Data.sample_duration,
         spt_dir_path=config.Data.spt_dir_path,
         joints=config.Data.get("joints"))
+    ensure_hierarchy_template(config)
 
 
 def load_datasets(config):
@@ -166,6 +211,7 @@ def _pose_converter(config):
     scaler = os.path.join(config.Data.dst_dir_path, "scaler.npz")
     if not os.path.exists(scaler):
         scaler = os.path.join(config.Data.dst_dir_path, "scaler.jl")
+    ensure_hierarchy_template(config)
     return PoseTypeConverter(scaler, config.Data.hierarchy_path,
                              joint_names=config.Data.get("joints"))
 
