@@ -7,10 +7,14 @@ librosa cannot be executed in this environment (reference usage:
 make_onset_goldens.py`` runs REAL librosa elsewhere and commits its
 outputs as ``tests/golden/onset_goldens.npz``; this test regenerates the
 identical waveforms (shared generator — the data file stores only librosa
-outputs) and diffs our implementation against them.  Skips while the
-golden file has not been generated yet; the residual-risk unit tests in
-``test_eval_export.py`` (analytic click trains/silence) remain as the
-fallback assurance until then.
+outputs) and diffs our implementation against them.  Skips (two tests,
+looping over all waveforms internally) while the golden file has not been
+generated yet; the standing assurance in the meantime is
+``test_onset_oracle.py`` — the ``transformers.audio_utils`` librosa-port
+oracle covering the mel basis, STFT framing/center compensation, dB
+conversion and full envelope (everything below the peak picker) — plus
+the analytic click-train/silence unit tests there and in
+``test_eval_export.py``.
 """
 
 import os
@@ -38,31 +42,30 @@ def goldens():
     return np.load(GOLDEN)
 
 
-@pytest.mark.parametrize("name", [n for n, _ in onset_golden_waveforms()])
-def test_onset_strength_matches_librosa(goldens, name):
+def test_onset_strength_matches_librosa(goldens):
     from gesture_diffusion_tpu.generation.eval_utils import onset_strength
 
-    wav = dict(onset_golden_waveforms())[name]
-    ours = onset_strength(wav, SR)
-    ref = goldens[f"env_{name}"]
-    n = min(len(ours), len(ref))
-    assert abs(len(ours) - len(ref)) <= 1, (len(ours), len(ref))
-    scale = max(float(np.abs(ref).max()), 1e-6)
-    np.testing.assert_allclose(ours[:n], ref[:n], atol=1e-3 * scale,
-                               rtol=1e-3)
+    for name, wav in onset_golden_waveforms():
+        ours = onset_strength(wav, SR)
+        ref = goldens[f"env_{name}"]
+        n = min(len(ours), len(ref))
+        assert abs(len(ours) - len(ref)) <= 1, (name, len(ours), len(ref))
+        scale = max(float(np.abs(ref).max()), 1e-6)
+        np.testing.assert_allclose(ours[:n], ref[:n], atol=1e-3 * scale,
+                                   rtol=1e-3, err_msg=name)
 
 
-@pytest.mark.parametrize("name", [n for n, _ in onset_golden_waveforms()])
-def test_onset_times_match_librosa(goldens, name):
+def test_onset_times_match_librosa(goldens):
     from gesture_diffusion_tpu.generation.eval_utils import onset_detect
 
-    wav = dict(onset_golden_waveforms())[name]
-    ours = onset_detect(wav, SR)
-    ref = goldens[f"onsets_{name}"]
-    # onset TIMES must agree to one hop (32 ms @ 16 kHz/512): the beat
-    # metrics integrate a Gaussian of sigma 0.1 s around each onset, so
-    # one-hop jitter is inconsequential but a systematic shift (the
-    # pre-a74ff08 64 ms bug) fails loudly
-    assert len(ours) == len(ref), (ours, ref)
-    if len(ref):
-        np.testing.assert_allclose(ours, ref, atol=512 / SR + 1e-9)
+    for name, wav in onset_golden_waveforms():
+        ours = onset_detect(wav, SR)
+        ref = goldens[f"onsets_{name}"]
+        # onset TIMES must agree to one hop (32 ms @ 16 kHz/512): the beat
+        # metrics integrate a Gaussian of sigma 0.1 s around each onset, so
+        # one-hop jitter is inconsequential but a systematic shift (the
+        # pre-a74ff08 64 ms bug) fails loudly
+        assert len(ours) == len(ref), (name, ours, ref)
+        if len(ref):
+            np.testing.assert_allclose(ours, ref, atol=512 / SR + 1e-9,
+                                       err_msg=name)
