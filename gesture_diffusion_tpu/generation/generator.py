@@ -531,9 +531,16 @@ class Generator:
         init_poses: Optional[jax.Array] = None,
         sample_alg: str = "ddim",
         max_in_flight: int = 4,
+        mesh=None,
     ) -> "GestureStream":
         """Streaming counterpart of :meth:`generate_sequence`: push audio
         chunks of ANY size, receive pose chunks as they complete.
+
+        :param mesh: optional ``jax.sharding.Mesh`` — shard each window's
+        batch over the mesh's ``data`` axis.  Works in multi-process SPMD
+        (every process pushes the SAME audio; emitted chunks are gathered
+        to full batches on every host), validated for real in
+        tests/test_multiprocess.py.
 
         Latency design for a tunnel/real-time service: windows are
         dispatched as soon as enough audio is buffered, the seed-pose tail
@@ -553,7 +560,7 @@ class Generator:
                              smooth_trans=smooth_trans,
                              trans_factor=trans_factor,
                              init_poses=init_poses, sample_alg=sample_alg,
-                             max_in_flight=max_in_flight)
+                             max_in_flight=max_in_flight, mesh=mesh)
 
     # ------------------------------------------------------------------
     def eval_bpd(
@@ -648,7 +655,8 @@ class GestureStream:
                  rng: jax.Array, smooth_trans: bool = True,
                  trans_factor: Optional[float] = None,
                  init_poses: Optional[jax.Array] = None,
-                 sample_alg: str = "ddim", max_in_flight: int = 4):
+                 sample_alg: str = "ddim", max_in_flight: int = 4,
+                 mesh=None):
         if not pose_seed_len < pose_window_len:
             raise ValueError(
                 f"pose_seed_len ({pose_seed_len}) must be < pose_window_len "
@@ -666,8 +674,20 @@ class GestureStream:
         self.sample_alg = sample_alg
         self.max_in_flight = max(1, max_in_flight)
         self._rng = rng
-        self._init_tail = (jnp.asarray(init_poses)
-                           if init_poses is not None else None)
+        # batch sharding over the mesh's data axis (None -> single-device).
+        # In multi-process SPMD, host-replicated numpy windows device_put
+        # directly onto the global sharding (every process holds the same
+        # audio bytes for its addressable shards)
+        self._sharding = None
+        if mesh is not None:
+            from ..parallel import data_sharding
+
+            self._sharding = data_sharding(mesh)
+        self._init_tail = init_poses
+        if init_poses is not None:
+            self._init_tail = (jax.device_put(init_poses, self._sharding)
+                               if self._sharding is not None
+                               else jnp.asarray(init_poses))
         self._buf = []                  # received audio chunks (np)
         self._buf_offset = 0            # absolute index of _buf[0][..., 0]
         self._received = 0
@@ -731,25 +751,33 @@ class GestureStream:
             else:
                 if d >= self._num_divisions(final_len):
                     return
-            wavs = jnp.asarray(self._audio(wav_start, wav_end))
+            window = self._audio(wav_start, wav_end)
+            wavs = (jax.device_put(window, self._sharding)
+                    if self._sharding is not None else jnp.asarray(window))
             if self._init_tail is None and d == 0:
                 ip = im = None
             else:
-                tail = (self._init_tail if d == 0
-                        else self._last_dispatched[:, -self.seed_len:])
+                prev = self._init_tail if d == 0 else self._last_dispatched
                 if self._assemble is None:
                     n = wavs.shape[0]
                     mask = np.zeros((n, self.window_len, 1), np.float32)
                     mask[:, :self.seed_len] = 1.0
-                    self._mask = jnp.asarray(mask)
+                    self._mask = (jax.device_put(mask, self._sharding)
+                                  if self._sharding is not None
+                                  else jnp.asarray(mask))
+                    s = self.seed_len
 
-                    def assemble(tail):
+                    # the seed-tail slice lives INSIDE the jit so multihost
+                    # global samples never hit an eager slice; prev is
+                    # either the previous full window or init_poses (whose
+                    # last s frames are the whole tensor) — one trace each
+                    def assemble(prev):
                         return jnp.zeros(
                             (n, self.window_len, self.pose_dim), jnp.float32
-                        ).at[:, :self.seed_len].set(tail)
+                        ).at[:, :s].set(prev[:, -s:])
 
                     self._assemble = jax.jit(assemble)
-                ip, im = self._assemble(tail), self._mask
+                ip, im = self._assemble(prev), self._mask
             self._rng, sub = jax.random.split(self._rng)
             sample = self.gen.generate_sample(
                 wavs, self.pose_dim, self.window_len, sub,
@@ -770,10 +798,21 @@ class GestureStream:
             x = crossfade_head(x, self._prev_np[:, -s:], s)
         return x
 
+    @staticmethod
+    def _materialise(x) -> np.ndarray:
+        """Device sample -> host numpy.  Multi-process global samples are
+        gathered first so every host emits the FULL batch (np.asarray on a
+        non-fully-addressable array raises)."""
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
     def _emit(self, final: bool, seq_len: Optional[int] = None):
         """Materialise the oldest in-flight sample and build its output
         chunk (stride frames; the final chunk is trimmed to seq_len)."""
-        raw = np.asarray(self._in_flight.pop(0))
+        raw = self._materialise(self._in_flight.pop(0))
         x = self._crossfade(raw)
         self._prev_np = raw
         self._emitted_idx += 1
