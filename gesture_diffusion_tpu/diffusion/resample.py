@@ -23,13 +23,28 @@ import numpy as np
 
 def _default_allgather(x: np.ndarray):
     """Per-process (t, loss) gather: list of every process's array, in
-    process order (identical on all hosts).  Single-process: identity."""
+    process order (identical on all hosts).  Single-process: identity.
+
+    Ragged-safe, mirroring the reference's explicit batch-size gather +
+    padding (``resample.py:95-103``): ``process_allgather`` stacks
+    equal-shape arrays only, so per-process lengths are gathered first,
+    each contribution is padded to the global max, and the pad rows are
+    stripped after the gather — asymmetric addressable shards or a final
+    ragged batch gather correctly instead of crashing."""
     if jax.process_count() == 1:
         return [x]
     from jax.experimental import multihost_utils
 
-    stacked = multihost_utils.process_allgather(np.asarray(x))
-    return list(stacked)
+    x = np.asarray(x)
+    lengths = multihost_utils.process_allgather(
+        np.asarray(len(x), np.int64))
+    max_len = int(np.asarray(lengths).max())
+    if max_len == 0:
+        return [x for _ in range(jax.process_count())]
+    pad = np.zeros((max_len - len(x),) + x.shape[1:], x.dtype)
+    stacked = multihost_utils.process_allgather(
+        np.concatenate([x, pad], axis=0))
+    return [row[:int(n)] for row, n in zip(stacked, np.asarray(lengths))]
 
 
 class UniformSampler:

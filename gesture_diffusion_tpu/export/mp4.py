@@ -99,7 +99,7 @@ def _dinf() -> bytes:
 def write_mp4(
     path: str,
     frames: Iterable[np.ndarray],        # (H, W, 3) uint8 RGB, equal sizes
-    fps: int,
+    fps: float,
     audio: Optional[np.ndarray] = None,  # (S,) or (S, ch) float [-1,1] / int16
     sample_rate: int = 16000,
     quality: int = 85,
@@ -140,22 +140,35 @@ def write_mp4(
     audio_off = video_off + len(video_bytes)
 
     movie_timescale = 1000
+    if not (float(fps) > 0 and np.isfinite(float(fps))):
+        raise ValueError(f"fps must be positive and finite, got {fps!r}")
+    if float(fps) == int(fps):
+        # integer rate: exact 1-tick-per-frame tables (the common path,
+        # kept bit-identical with earlier writers)
+        v_timescale, v_delta = int(fps), 1
+    else:
+        # fractional rate (e.g. 29.97): fixed 90 kHz media timescale with
+        # a rounded per-frame delta (3003 for NTSC) — struct.pack needs
+        # integers, so fps itself cannot be the timescale
+        v_timescale = 90000
+        v_delta = int(round(v_timescale / float(fps)))
     duration_mv = int(round(n * movie_timescale / fps))
     max_size = max(len(e) for e in encoded)
     avg_rate = int(sum(len(e) for e in encoded) * 8 * fps / n)
 
     # --- video trak -----------------------------------------------------
-    max_rate = max(avg_rate, max_size * 8 * fps)   # worst frame at rate
+    max_rate = int(max(avg_rate, max_size * 8 * fps))  # worst frame at rate
     sample_entry = _box(b"mp4v", struct.pack(
         ">6xH16xHHII4xH32pHh", 1, w, h, 0x480000, 0x480000, 1, b"",
         24, -1) + _esds_jpeg(max_size, max_rate, avg_rate))
     stbl = _box(b"stbl",
                 _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
-                + _sample_tables([len(e) for e in encoded], video_off, 1, n))
+                + _sample_tables([len(e) for e in encoded], video_off,
+                                 v_delta, n))
     minf = _box(b"minf", _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
                 + _dinf() + stbl)
-    mdia = _box(b"mdia", _mdhd(fps, n) + _hdlr(b"vide", b"VideoHandler")
-                + minf)
+    mdia = _box(b"mdia", _mdhd(v_timescale, n * v_delta)
+                + _hdlr(b"vide", b"VideoHandler") + minf)
     traks = _box(b"trak", _tkhd(1, duration_mv, w, h) + mdia)
 
     # --- audio trak -----------------------------------------------------

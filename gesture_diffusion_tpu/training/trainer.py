@@ -308,6 +308,22 @@ class Trainer:
             # NOTE not checkpointed (the reference keeps it in-memory only
             # too); a resume restarts the history warm-up from scratch
             self._sampler_rng = self.rngs.numpy("schedule_sampler")
+            # dedup_local_pairs dedups replicated data-row ranges WITHIN a
+            # process; if the model axis crossed hosts, each host would
+            # contribute its replicated ranges once and the allgather
+            # would enter every example model_size times — refuse the
+            # layout up front rather than silently skewing the history
+            if jax.process_count() > 1 and "model" in self.mesh.shape \
+                    and self.mesh.shape["model"] > 1:
+                ax = self.mesh.axis_names.index("model")
+                rows = np.moveaxis(self.mesh.devices, ax, -1)
+                for row in rows.reshape(-1, rows.shape[-1]):
+                    if len({d.process_index for d in row}) != 1:
+                        raise ValueError(
+                            "schedule_sampler with a multi-host 'model' "
+                            "mesh axis: the model axis must not span "
+                            "processes (per-example loss dedup is "
+                            "per-process; see dedup_local_pairs)")
 
         self._train_step = make_train_step(
             model, sched, optimizer, self.loss_params,
@@ -331,6 +347,29 @@ class Trainer:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by the mesh data "
                 f"axis {self.mesh.shape['data']}")
+        if self.steps_per_call > 1 and jax.process_count() > 1:
+            # the multi-step path ASSUMES every host holds a bit-identical
+            # dataset + shuffle seed (device_put of host-replicated stacks
+            # uses each host's local bytes for its addressable shards —
+            # divergent hosts would silently produce inconsistent global
+            # batches).  Verify with a cheap cross-host checksum: seed +
+            # shapes/dtypes + a 64-row stride sample of every array.
+            import zlib
+
+            from jax.experimental import multihost_utils
+
+            h = zlib.crc32(np.asarray([self.seed]).tobytes())
+            for k in sorted(train_dataset.data):
+                v = np.ascontiguousarray(train_dataset.data[k])
+                h = zlib.crc32(repr((k, v.shape, str(v.dtype))).encode(), h)
+                h = zlib.crc32(v[:: max(1, v.shape[0] // 64)].tobytes(), h)
+            all_h = np.asarray(multihost_utils.process_allgather(
+                np.asarray(h, np.int64)))
+            if len({int(x) for x in all_h.ravel()}) != 1:
+                raise ValueError(
+                    "steps_per_call > 1 multihost requires an identical "
+                    "train dataset and seed on every host; cross-host "
+                    f"checksums differ: {all_h.ravel().tolist()}")
         self._train_multi = (make_train_multi_step(
             model, sched, optimizer, self.loss_params,
             grad_norm_clip_value, grad_clip_value)

@@ -482,6 +482,29 @@ class TestMp4Muxer:
         with pytest.raises(ValueError, match="no frames"):
             write_mp4(str(tmp_path / "x.mp4"), [], fps=10)
 
+    def test_fractional_fps(self, tmp_path):
+        """Advisor fix: a non-integer rate (NTSC 29.97) must not crash in
+        struct.pack — the video track switches to a 90 kHz media timescale
+        with the standard rounded per-frame delta (3003); integer rates
+        keep the exact 1-tick-per-frame tables."""
+        from gesture_diffusion_tpu.export.mp4 import (read_mp4_structure,
+                                                      write_mp4)
+
+        p = write_mp4(str(tmp_path / "ntsc.mp4"), self._frames(3),
+                      fps=29.97)
+        vid = read_mp4_structure(p)["traks"][0]
+        assert vid["timescale"] == 90000
+        assert vid["stts"] == (3, 3003)
+        assert vid["n_samples"] == 3
+
+    def test_invalid_fps_raises(self, tmp_path):
+        from gesture_diffusion_tpu.export.mp4 import write_mp4
+
+        for bad in (0, -5, float("nan"), float("inf")):
+            with pytest.raises(ValueError, match="fps"):
+                write_mp4(str(tmp_path / "bad.mp4"), self._frames(1),
+                          fps=bad)
+
 
 def test_esds_buffer_holds_largest_frame():
     """Review fix: bufferSizeDB must cover the largest JPEG access unit

@@ -78,6 +78,38 @@ class TestLocalLossSync:
                                    np.array([1.0, 2.0, 3.0, 4.0]))
         assert s._loss_counts.sum() == 4
 
+    def test_default_allgather_pads_ragged_contributions(self, monkeypatch):
+        """The reference pads ragged per-rank batches before its all_gather
+        (resample.py:95-103); process_allgather stacks equal shapes only,
+        so _default_allgather must pad to the global max and strip after
+        the gather.  Simulated 2-process run: this host holds 3 pairs, the
+        peer 5 — the gathered lists keep the true lengths and values."""
+        import jax
+
+        from gesture_diffusion_tpu.diffusion import resample as rs
+
+        peer = np.array([10.0, 11.0, 12.0, 13.0, 14.0])
+
+        class FakeMHU:
+            @staticmethod
+            def process_allgather(x, tiled=False):
+                x = np.asarray(x)
+                if x.ndim == 0:               # the length gather
+                    return np.stack([x, np.asarray(len(peer), x.dtype)])
+                padded_peer = np.concatenate(
+                    [peer.astype(x.dtype),
+                     np.zeros(len(x) - len(peer), x.dtype)])
+                return np.stack([x, padded_peer[: len(x)]])
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        import jax.experimental
+
+        monkeypatch.setattr(jax.experimental, "multihost_utils", FakeMHU)
+        out = rs._default_allgather(np.array([1.0, 2.0, 3.0]))
+        assert len(out) == 2
+        np.testing.assert_array_equal(out[0], [1.0, 2.0, 3.0])
+        np.testing.assert_array_equal(out[1], peer)
+
 
 class TestHostSideDraws:
     def test_uniform_sample_np(self):
