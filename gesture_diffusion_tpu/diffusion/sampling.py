@@ -140,42 +140,65 @@ def bpd_loop(
     x_start: jax.Array,
     rng: jax.Array,
     timestep_map: Optional[jax.Array] = None,
+    t_block: int = 1,
 ) -> dict:
     """Full variational bound sweep over all timesteps as one scan
     (reference ``calc_bpd_loop``, ``gaussian_diffusion.py:624-678``).
 
+    :param t_block: timesteps evaluated per model call.  The per-t terms
+        are independent given ``x_start``, so ``t_block=k`` stacks k
+        timesteps into one batch-``k*N`` model call and scans ``T/k``
+        times — same math, k× fewer program steps (per-step op-issue
+        amortisation; see PERF.md).  Noise is keyed per TIMESTEP
+        (``fold_in(rng, t)``), so results are block-size-invariant up to
+        f32 reduction order.  ``model_fn`` must accept any batch size
+        (callers with per-example conditioning must tile it k× — see
+        ``Generator.eval_bpd``).
     :return: dict with total_bpd (N,), prior_bpd (N,), and per-timestep
              vb / x_start_mse / mse of shape (N, T_steps) ordered from
              t = T-1 down to 0 (matching the reference's stacking order).
     """
     model_fn = wrap_respaced(model_fn, timestep_map)
     n = x_start.shape[0]
+    T = sched.num_timesteps
+    k = int(t_block)
+    if k < 1 or T % k:
+        raise ValueError(f"t_block {k} must divide num_timesteps {T}")
 
-    def body(key, i):
-        t = jnp.full((n,), i, dtype=jnp.int32)
-        key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, x_start.shape, x_start.dtype)
-        x_t = q_sample(sched, x_start, t, noise)
+    xs = (x_start if k == 1
+          else jnp.concatenate([x_start] * k, axis=0))    # (k*N, ...)
 
-        true_mean, _, true_log_var = q_posterior_mean_variance(sched, x_start, x_t, t)
+    def body(_, i):
+        # block i covers t = T-1-i*k, ..., T-(i+1)*k (descending)
+        ts = T - 1 - (i * k + jnp.arange(k, dtype=jnp.int32))   # (k,)
+        t = jnp.repeat(ts, n)                                   # (k*N,)
+        keys = jax.vmap(lambda tt: jax.random.fold_in(rng, tt))(ts)
+        noise = jax.vmap(
+            lambda kk: jax.random.normal(kk, x_start.shape, x_start.dtype)
+        )(keys).reshape(xs.shape)
+        x_t = q_sample(sched, xs, t, noise)
+
+        true_mean, _, true_log_var = q_posterior_mean_variance(sched, xs, x_t, t)
         out = p_mean_variance(sched, model_fn, x_t, t)
         kl = normal_kl(true_mean, true_log_var, out["mean"], out["log_variance"])
         kl = mean_flat(kl) / jnp.log(2.0)
         decoder_nll = -continuous_gaussian_log_likelihood(
-            x_start, means=out["mean"], log_scales=0.5 * out["log_variance"])
+            xs, means=out["mean"], log_scales=0.5 * out["log_variance"])
         decoder_nll = mean_flat(decoder_nll) / jnp.log(2.0)
         vb = jnp.where(t == 0, decoder_nll, kl)
 
-        x_start_mse = mean_flat((out["pred_x_start"] - x_start) ** 2)
+        x_start_mse = mean_flat((out["pred_x_start"] - xs) ** 2)
         eps = predict_eps_from_xstart(sched, x_t, t, out["pred_x_start"])
         mse = mean_flat((eps - noise) ** 2)
-        return key, (vb, x_start_mse, mse)
+        return None, (vb.reshape(k, n), x_start_mse.reshape(k, n),
+                      mse.reshape(k, n))
 
-    steps = jnp.arange(sched.num_timesteps - 1, -1, -1)
-    _, (vb, x_start_mse, mse) = jax.lax.scan(body, rng, steps)
-    vb = jnp.moveaxis(vb, 0, 1)                  # (N, T)
-    x_start_mse = jnp.moveaxis(x_start_mse, 0, 1)
-    mse = jnp.moveaxis(mse, 0, 1)
+    _, (vb, x_start_mse, mse) = jax.lax.scan(
+        body, None, jnp.arange(T // k))
+    # (T/k, k, N) -> (T, N) keeps the reference's t = T-1 .. 0 order
+    vb = jnp.moveaxis(vb.reshape(T, n), 0, 1)                  # (N, T)
+    x_start_mse = jnp.moveaxis(x_start_mse.reshape(T, n), 0, 1)
+    mse = jnp.moveaxis(mse.reshape(T, n), 0, 1)
     prior = prior_bpd(sched, x_start)
     return {
         "total_bpd": vb.sum(axis=1) + prior,

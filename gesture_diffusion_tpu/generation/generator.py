@@ -569,12 +569,21 @@ class Generator:
         wavs: jax.Array,                      # (N, T_wav)
         rng: jax.Array,
         pose_seed_len: Optional[int] = None,
+        t_block: int = 1,
     ) -> dict:
-        # keyed on pose_seed_len: the closure below captures it, so an
-        # unkeyed cache would silently reuse the first call's value for
-        # later calls with a different seed length (same bug class as the
-        # fused cache, fixed by keying — see _fused_key)
-        if pose_seed_len not in self._bpd_jit:
+        """:param t_block: timesteps per model call (see
+        ``diffusion.sampling.bpd_loop``) — the per-t terms are
+        independent given ``x_start``, so k timesteps batch into one
+        (k*N)-row call with the hoisted memory (and inpaint tensors)
+        tiled k×; same math up to f32 reduction order."""
+        # keyed on (pose_seed_len, t_block): the closure below captures
+        # both, so an unkeyed cache would silently reuse the first call's
+        # values for later calls with different settings (same bug class
+        # as the fused cache, fixed by keying — see _fused_key)
+        cache_key = (pose_seed_len, int(t_block))
+        if cache_key not in self._bpd_jit:
+            k = int(t_block)
+
             def fn(variables, poses, wavs, rng):
                 memory = self.model.apply(
                     variables, wavs, train=False,
@@ -585,12 +594,17 @@ class Generator:
                     ip = poses
                     im = jnp.zeros(poses.shape[:2] + (1,), poses.dtype
                                    ).at[:, :pose_seed_len].set(1.0)
+                if k > 1:
+                    tile = lambda a: (None if a is None else  # noqa: E731
+                                      jnp.concatenate([a] * k, axis=0))
+                    memory = jax.tree_util.tree_map(tile, memory)
+                    ip, im = tile(ip), tile(im)
                 model_fn = self._model_fn(variables, memory, ip, im)
                 return bpd_loop(self.sched, model_fn, poses, rng,
-                                timestep_map=self.timestep_map)
+                                timestep_map=self.timestep_map, t_block=k)
 
-            self._bpd_jit[pose_seed_len] = jax.jit(fn)
-        return self._bpd_jit[pose_seed_len](self.variables, poses, wavs, rng)
+            self._bpd_jit[cache_key] = jax.jit(fn)
+        return self._bpd_jit[cache_key](self.variables, poses, wavs, rng)
 
     # ------------------------------------------------------------------
     def eval_infer_time(

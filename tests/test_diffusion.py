@@ -205,6 +205,60 @@ class TestBpd:
             np.asarray(out["total_bpd"]),
             np.asarray(out["vb"].sum(1) + out["prior_bpd"]), rtol=1e-5)
 
+    def test_bpd_t_block_invariance(self):
+        """t_block=k stacks k timesteps per model call; noise is keyed
+        per timestep (fold_in(rng, t)) so every block size computes the
+        SAME sweep up to f32 reduction order — including the respaced
+        per-t vb/mse columns and their ordering."""
+        sched, tmap = gd.respaced_schedule(
+            gd.linear_betas(1000), gd.space_timesteps(1000, "ddim24"))
+        x0 = _ref_noise((3, 4, 6), 13)
+        outs = {k: gd.bpd_loop(sched, fake_model, x0, jax.random.key(4),
+                               timestep_map=tmap, t_block=k)
+                for k in (1, 2, 4)}
+        for k in (2, 4):
+            for name in ("total_bpd", "vb", "x_start_mse", "mse"):
+                np.testing.assert_allclose(
+                    np.asarray(outs[k][name]), np.asarray(outs[1][name]),
+                    rtol=2e-5, atol=1e-6, err_msg=f"{name} @ t_block={k}")
+        with pytest.raises(ValueError, match="t_block"):
+            gd.bpd_loop(sched, fake_model, x0, jax.random.key(4),
+                        timestep_map=tmap, t_block=5)
+
+    def test_generator_eval_bpd_t_block_tiles_conditioning(self):
+        """Generator.eval_bpd(t_block=k) must tile the hoisted memory
+        (and the inpaint tensors) k× so the (k*N)-row model calls see
+        each example's own conditioning — equal results per block size."""
+        import jax
+
+        from gesture_diffusion_tpu.generation import Generator
+        from gesture_diffusion_tpu.models import (DenoiserConfig,
+                                                  GestureDenoiser)
+
+        cfg = DenoiserConfig(d_pose=6, d_model=32, heads=2, n_layers=1,
+                             model_type="inpaint", pose_seed_len=2)
+        model = GestureDenoiser(cfg)
+        rng = np.random.default_rng(5)
+        poses = jnp.asarray(rng.normal(size=(2, 8, 6)).astype(np.float32))
+        wavs = jnp.asarray(rng.normal(0, 0.3, (2, 6400)).astype(np.float32))
+        mask = jnp.zeros((2, 8, 1)).at[:, :2].set(1.0)
+        variables = model.init(jax.random.key(0), poses,
+                               jnp.zeros((2,), jnp.int32), wavs, train=False,
+                               inpaint_pose=poses, inpaint_mask=mask)
+        sched, tmap = gd.respaced_schedule(
+            gd.linear_betas(100), gd.space_timesteps(100, "ddim4"))
+        gen = Generator(model, variables, sched, jnp.asarray(tmap))
+        out1 = gen.eval_bpd(poses, wavs, jax.random.key(7),
+                            pose_seed_len=2, t_block=1)
+        out2 = gen.eval_bpd(poses, wavs, jax.random.key(7),
+                            pose_seed_len=2, t_block=2)
+        np.testing.assert_allclose(np.asarray(out2["total_bpd"]),
+                                   np.asarray(out1["total_bpd"]),
+                                   rtol=5e-4)
+        np.testing.assert_allclose(np.asarray(out2["vb"]),
+                                   np.asarray(out1["vb"]),
+                                   rtol=5e-4, atol=1e-5)
+
 
 class TestResamplers:
     def test_uniform_sampler_range(self):
