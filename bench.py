@@ -108,22 +108,37 @@ def measure_ours(repetitions: int = 30, warmup: int = 5):
         wav64, D_POSE, WINDOW, sample_alg="ddim", repetitions=8, warmup=2,
         return_raw=True)
 
+    # batch sweep (round-5): the reference's b64 is a GPU-era choice; on
+    # this chip the fused sampler keeps scaling past it (PERF.md r5 —
+    # b256 is throughput-optimal, +88% over b64)
+    sweep50 = {}
+    for b in (128, 256):
+        wavb = jnp.asarray(np.random.default_rng(b).normal(
+            0, 0.3, (b, WAV_LEN)).astype(np.float32))
+        _, _, _, tb = gen50.eval_infer_time(
+            wavb, D_POSE, WINDOW, sample_alg="ddim", repetitions=5,
+            warmup=2, return_raw=True)
+        sweep50[b] = float(np.median(tb))
+
     # eval-phase bpd: the most expensive reference phase (SURVEY §3.4) —
     # full 1000-timestep variational-bound scan, batch 64, one number the
     # rounds can track.  Single dependent call, blocked (the loop output
     # feeds nothing, so p50 of 3 sequential calls is honest wall time).
     poses64 = jnp.asarray(np.random.default_rng(3).normal(
         size=(64, WINDOW, D_POSE)).astype(np.float32))
-    out = gen.eval_bpd(poses64, wav64, jax.random.key(9))
-    jax.block_until_ready(out)
-    reps = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        out = gen.eval_bpd(poses64, wav64, jax.random.key(10 + i))
-        jax.block_until_ready(out)
-        reps.append((time.perf_counter() - t0) * 1e3)
-    t_bpd = float(np.median(reps))
-    return (t1, t64, t64_50, ts, t_pipe, t_bpd, headline_path,
+    t_bpds = {}
+    for k in (1, 4):        # t_block=4 batches 4 timesteps per model call
+        out = gen.eval_bpd(poses64, wav64, jax.random.key(9), t_block=k)
+        jax.block_until_ready(out["total_bpd"])
+        reps = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            out = gen.eval_bpd(poses64, wav64, jax.random.key(10 + i),
+                               t_block=k)
+            jax.block_until_ready(out["total_bpd"])
+            reps.append((time.perf_counter() - t0) * 1e3)
+        t_bpds[k] = float(np.median(reps))
+    return (t1, t64, t64_50, sweep50, ts, t_pipe, t_bpds, headline_path,
             fused_max_rel_dev)
 
 
@@ -188,30 +203,50 @@ def measure_train_step(n_steps: int = 20, warmup: int = 3):
     cfg = DenoiserConfig(d_pose=D_POSE, encoder_dtype="bfloat16")
     model = GestureDenoiser(cfg)
     rng = np.random.default_rng(2)
-    batch = {
-        "pose": jnp.asarray(rng.normal(size=(64, WINDOW, D_POSE))
-                            .astype(np.float32)),
-        "wav": jnp.asarray(rng.normal(0, 0.3, (64, WAV_LEN))
-                           .astype(np.float32)),
-    }
-    variables = model.init(jax.random.key(0), batch["pose"],
-                           jnp.zeros((64,), jnp.int32), batch["wav"],
-                           train=False)
     optimizer = optax.adamw(1e-4)
-    state = TrainState(variables["params"], variables.get("batch_stats", {}),
-                       init_opt_state(optimizer, variables["params"]),
-                       jnp.asarray(0, jnp.int32))
     sched = make_schedule(linear_betas(DIFFUSION_STEPS))
-    step = make_train_step(model, sched, optimizer, None)
     key = jax.random.key(1)
-    for _ in range(warmup):             # donated state: rebind EVERY call
-        state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, batch, key)
-    jax.block_until_ready((state, metrics))
-    per_step = (time.perf_counter() - t0) * 1e3 / n_steps
+
+    # batch sweep (round-5): ms/step at b64 (the reference's shape) plus
+    # b128/b256 samples/s — b128 is the measured throughput knee (PERF.md)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, WINDOW, D_POSE)),
+                           jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, WAV_LEN)), train=False)
+    step = make_train_step(model, sched, optimizer, None)
+    per_step_b = {}
+    batch = None
+    for b in (64, 128, 256):
+        batch = {
+            "pose": jnp.asarray(rng.normal(size=(b, WINDOW, D_POSE))
+                                .astype(np.float32)),
+            "wav": jnp.asarray(rng.normal(0, 0.3, (b, WAV_LEN))
+                               .astype(np.float32)),
+        }
+        # fresh COPIES per batch size: the step donates its state, and a
+        # donated buffer aliased from `variables` would be deleted for
+        # the next iteration (CLAUDE.md pitfall)
+        state = TrainState(
+            jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            jax.tree_util.tree_map(jnp.copy,
+                                   variables.get("batch_stats", {})),
+            init_opt_state(optimizer,
+                           jax.tree_util.tree_map(jnp.copy,
+                                                  variables["params"])),
+            jnp.asarray(0, jnp.int32))
+        n = n_steps if b == 64 else 10
+        for _ in range(warmup):         # donated state: rebind EVERY call
+            state, metrics = step(state, batch, key)
+        jax.block_until_ready(metrics)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, batch, key)
+        jax.block_until_ready((state, metrics))
+        per_step_b[b] = (time.perf_counter() - t0) * 1e3 / n
+        if b == 64:                     # the scan-8 metric stays at b64
+            state64, batch64 = state, batch
+    per_step = per_step_b[64]
+    state, batch = state64, batch64
 
     # K steps per dispatch (lax.scan over stacked batches): amortises the
     # ~20 ms/step of per-program overhead measured on this tunnel-attached
@@ -229,7 +264,7 @@ def measure_train_step(n_steps: int = 20, warmup: int = 3):
         state, metrics = multi(state, stacked, key)
     jax.block_until_ready((state, metrics))
     per_step_scan = (time.perf_counter() - t0) * 1e3 / (5 * K)
-    return per_step, per_step_scan
+    return per_step, per_step_scan, per_step_b
 
 
 def main():
@@ -238,8 +273,9 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline_sps = json.load(f).get("reference_steps_per_sec")
 
-    t1, t64, t64_50, ts, t_pipe, t_bpd, path, fused_dev = measure_ours()
-    train_ms, train_ms_scan = measure_train_step()
+    (t1, t64, t64_50, sweep50, ts, t_pipe, t_bpds, path,
+     fused_dev) = measure_ours()
+    train_ms, train_ms_scan, train_sweep = measure_train_step()
     prep_mbps = measure_prep_parse()
     # p50 headline: the tunnel-attached chip shows ~±10% run-to-run spread
     # (PERF.md); the median of 30 reps is stable where a mean of 10 was one
@@ -269,6 +305,13 @@ def main():
             "batch64_ddim50_p50_ms": round(float(np.median(t64_50)), 2),
             "batch64_ddim50_sec_of_gesture_per_sec": round(
                 64 * 2.0 / (float(np.median(t64_50)) / 1e3), 1),
+            # round-5 batch sweep: the fused sampler keeps scaling past
+            # the reference's b64 — b256 is throughput-optimal (PERF.md)
+            **{f"batch{b}_ddim50_p50_ms": round(ms, 2)
+               for b, ms in sweep50.items()},
+            **{f"batch{b}_ddim50_sec_of_gesture_per_sec":
+               round(b * 2.0 / (ms / 1e3), 1)
+               for b, ms in sweep50.items()},
             "streaming_ddim50_ms_per_2s_window": round(float(np.median(ts)), 2),
             "streaming_ddim50_pipelined_ms_per_window": round(t_pipe, 2),
             # self-certification: which sampler produced the headline and
@@ -280,7 +323,16 @@ def main():
                                   if fused_dev is not None else None),
             "train_step_ms_b64": round(train_ms, 2),
             "train_step_ms_b64_scan8": round(train_ms_scan, 2),
-            "bpd_ms_b64": round(t_bpd, 2),
+            # round-5 batch sweep: b128 is the measured throughput knee
+            # (+44% samples/s over b64; b256 adds only ~3% more — PERF.md)
+            **{f"train_step_ms_b{b}": round(ms, 2)
+               for b, ms in train_sweep.items() if b != 64},
+            **{f"train_samples_per_s_b{b}": round(b / (ms / 1e3), 1)
+               for b, ms in train_sweep.items()},
+            "bpd_ms_b64": round(t_bpds[1], 2),
+            # t_block=4 batches 4 independent timesteps per model call
+            # (diffusion/sampling.py::bpd_loop) — measured -17% (PERF.md)
+            "bpd_ms_b64_tblock4": round(t_bpds[4], 2),
             "prep_parse_MBps": round(prep_mbps, 1),
             "baseline_reference_steps_per_sec_torch_cpu": baseline_sps,
         },

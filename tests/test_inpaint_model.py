@@ -57,8 +57,8 @@ def test_inpaint_trainer_and_generator(tmp_path):
     # numerical effect — assert the cache structure directly instead.
     gen.eval_bpd(jnp.asarray(data["pose"][:2]), wavs,
                  jax.random.key(1), pose_seed_len=7)
-    assert set(gen._bpd_jit) == {3, 7}, (
-        "eval_bpd must compile one closure per pose_seed_len")
+    assert set(gen._bpd_jit) == {(3, 1), (7, 1)}, (
+        "eval_bpd must compile one closure per (pose_seed_len, t_block)")
     # and a repeat of the first call still matches bit-exactly
     bpd3b = gen.eval_bpd(jnp.asarray(data["pose"][:2]), wavs,
                          jax.random.key(1), pose_seed_len=3)
