@@ -244,9 +244,13 @@ def evaluate(config):
         wavs = jnp.asarray(samples["wav"][i * batch_size:(i + 1) * batch_size])
         rng, r1, r2 = jax.random.split(rng, 3)
 
+        # bpd_t_block batches k independent timesteps per model call —
+        # measured -17% eval wall at k=4 on the real chip (PERF.md round
+        # 5); default 1 keeps the reference-exact call pattern
         diffusion_terms = generator.eval_bpd(
             poses, wavs, r1,
-            pose_seed_len=(gen_cfg.get("pose_seed_len") if gen_cfg else None))
+            pose_seed_len=(gen_cfg.get("pose_seed_len") if gen_cfg else None),
+            t_block=(gen_cfg.get("bpd_t_block", 1) if gen_cfg else 1))
         for name, value in diffusion_terms.items():
             # per-batch 1/num_batches weighting slightly over-weights a
             # ragged final batch — bug-compat with /root/reference/main.py:180

@@ -34,8 +34,9 @@ def _deep_merge(dst: dict, src: dict) -> dict:
 
 
 # scale-down overrides only: every shape-defining key (model type, decoder
-# type, representation, scheduler type, fps/window/stride, Generate block)
-# comes from the shipped config under test
+# type, representation, scheduler type, fps/window/stride, Generate block
+# except bpd_t_block, which is coupled to diffusion_steps) comes from the
+# shipped config under test
 _SCALE_DOWN = {
     "Data": {"synthetic": {"n_train": 8, "n_val": 4, "n_test": 4,
                            "seconds": 4, "n_joints": 4},
@@ -43,7 +44,11 @@ _SCALE_DOWN = {
     "Model": {"d_model": 32,
               "Decoder": {"heads": 4, "n_layers": 1},
               "Diffusion": {"diffusion_steps": 50,
-                            "timestep_respacing": "ddim10"}},
+                            "timestep_respacing": "ddim10"},
+              # shipped bpd_t_block=4 assumes the shipped T=1000; it must
+              # divide the scaled-down respaced T=10 (still exercises the
+              # k>1 tiled bpd path through the CLI)
+              "Generate": {"bpd_t_block": 2}},
     "Train": {"batch_size": 8, "max_training_steps": "10",
               "early_stop_threshold_in_step": "10"},
 }
