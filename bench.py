@@ -230,9 +230,7 @@ def measure_train_step(n_steps: int = 20, warmup: int = 3):
             jax.tree_util.tree_map(jnp.copy, variables["params"]),
             jax.tree_util.tree_map(jnp.copy,
                                    variables.get("batch_stats", {})),
-            init_opt_state(optimizer,
-                           jax.tree_util.tree_map(jnp.copy,
-                                                  variables["params"])),
+            init_opt_state(optimizer, variables["params"]),
             jnp.asarray(0, jnp.int32))
         n = n_steps if b == 64 else 10
         for _ in range(warmup):         # donated state: rebind EVERY call

@@ -242,6 +242,11 @@ def hierarchy_channel_order(data: BvhData) -> List[Tuple[str, str]]:
 
 def ancestor_closure(data: BvhData, names: Sequence[str]) -> Set[str]:
     """The given joints plus every ancestor up to the root."""
+    unknown = set(names) - set(data.joints)
+    if unknown:
+        raise ValueError(
+            f"unknown joints (not in this skeleton): {sorted(unknown)}; "
+            "check Data.joints / Data.hierarchy_extra_joints")
     keep: Set[str] = set()
     for name in names:
         cur: Optional[str] = name

@@ -111,11 +111,16 @@ class LossSecondMomentResampler:
         tests; defaults to ``jax.experimental.multihost_utils`` — identity
         when single-process)."""
         gather = allgather if allgather is not None else _default_allgather
-        ts = np.concatenate([np.asarray(a) for a in gather(
-            np.asarray(local_ts))])
-        losses = np.concatenate([np.asarray(a) for a in gather(
-            np.asarray(local_losses))])
-        self.update_with_all_losses(ts, losses)
+        # one gather for both columns: (n, 2) float64 rows of (t, loss) —
+        # t and f32 losses are both exact in f64 — so the multihost path
+        # pays one lengths + one data collective per step instead of two
+        # of each (the rendezvous is host-blocking on the train hot path)
+        pairs = np.stack([np.asarray(local_ts, np.float64),
+                          np.asarray(local_losses, np.float64)], axis=1)
+        gathered = np.concatenate([np.asarray(a).reshape(-1, 2)
+                                   for a in gather(pairs)])
+        self.update_with_all_losses(gathered[:, 0].astype(np.int64),
+                                    gathered[:, 1])
 
     def update_with_all_losses(self, ts, losses) -> None:
         for t, loss in zip(np.asarray(ts).tolist(), np.asarray(losses).tolist()):

@@ -575,7 +575,15 @@ class Generator:
         ``diffusion.sampling.bpd_loop``) — the per-t terms are
         independent given ``x_start``, so k timesteps batch into one
         (k*N)-row call with the hoisted memory (and inpaint tensors)
-        tiled k×; same math up to f32 reduction order."""
+        tiled k×; same math up to f32 reduction order.  A ``t_block``
+        that does not divide the (possibly respaced) timestep count is
+        clamped down to the largest divisor — results are block-invariant
+        (noise is keyed per-t), so clamping only changes throughput,
+        never the numbers."""
+        T = (len(self.timestep_map) if self.timestep_map is not None
+             else self.sched.num_timesteps)
+        t_block = max(k for k in range(1, min(int(t_block), T) + 1)
+                      if T % k == 0)
         # keyed on (pose_seed_len, t_block): the closure below captures
         # both, so an unkeyed cache would silently reuse the first call's
         # values for later calls with different settings (same bug class

@@ -100,8 +100,11 @@ def ensure_hierarchy_template(config):
     joints = config.Data.get("joints")
     if joints:
         extra = config.Data.get("hierarchy_extra_joints", ["Neck", "Neck1"])
-        keep = ancestor_closure(skel, list(joints)) | {
-            j for j in extra if j in skel.joints}
+        # extras go through the closure too: prune_hierarchy's walk only
+        # reaches joints whose whole parent chain is kept, so a bare union
+        # would silently drop an extra with an un-kept parent
+        keep = ancestor_closure(
+            skel, list(joints) + [j for j in extra if j in skel.joints])
         skel = prune_hierarchy(skel, keep)
     os.makedirs(os.path.dirname(os.path.abspath(hier)), exist_ok=True)
     with open(hier, "w") as f:

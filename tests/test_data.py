@@ -513,8 +513,12 @@ class TestHierarchyPrune:
             os.path.abspath(__file__))), "configs", "beat-ours.json")
         with open(cfg_path) as f:
             cfg = _json.load(f)
-        keep = ancestor_closure(full, cfg["Data"]["joints"]) | set(
-            cfg["Data"]["hierarchy_extra_joints"])
+        # same closure-of-union ensure_hierarchy_template applies (the
+        # extras' ancestor chains are already inside closure(joints) for
+        # this config, so this stays offset-exact vs the shipped file)
+        keep = ancestor_closure(
+            full, list(cfg["Data"]["joints"])
+            + list(cfg["Data"]["hierarchy_extra_joints"]))
         pruned = prune_hierarchy(full, keep)
         assert list(pruned.joints) == list(upper.joints)
         for name, ours in pruned.joints.items():
@@ -573,6 +577,43 @@ class TestHierarchyPrune:
         cli.ensure_hierarchy_template(config2)
         assert set(parse_bvh(str(hier2)).joints) == set(
             parse_bvh(TOY_BVH, is_text=True).joints)
+
+    def test_extra_joint_with_unkept_parent_survives(self, tmp_path):
+        """Extras are closed over ancestors too: an extra whose parent is
+        outside closure(joints) used to pass prune_hierarchy's validation
+        but never be reached by its walk — silently missing from the
+        written template."""
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import main as cli
+        from gesture_diffusion_tpu.utils import JsonConfig
+
+        text, _ = toy_bvh_with_motion(5)
+        src = tmp_path / "corpus" / "1"
+        src.mkdir(parents=True)
+        (src / "1_rec_0_1_1.bvh").write_text(text)
+        hier = tmp_path / "artifacts" / "hier.txt"
+        config = JsonConfig({"Data": {
+            "src_dir_path": str(tmp_path / "corpus"),
+            "human_ids": [1],
+            "hierarchy_path": str(hier),
+            "joints": ["LeftArm"],
+            # Head's parent Spine is NOT in closure(["LeftArm"])
+            "hierarchy_extra_joints": ["Head"],
+        }})
+        cli.ensure_hierarchy_template(config)
+        skel = parse_bvh(str(hier))
+        assert "Head" in skel.joints, "extra joint silently dropped"
+        assert "Spine" in skel.joints  # its ancestor chain pulled in
+
+    def test_ancestor_closure_unknown_joint_raises(self):
+        from gesture_diffusion_tpu.data.bvh import ancestor_closure
+
+        data = parse_bvh(TOY_BVH, is_text=True)
+        with pytest.raises(ValueError, match="Spine1x"):
+            ancestor_closure(data, ["Spine", "Spine1x"])
 
     def test_shipped_configs_are_self_contained(self):
         """No shipped config may reach outside the repo (the round-4

@@ -258,6 +258,15 @@ class TestBpd:
         np.testing.assert_allclose(np.asarray(out2["vb"]),
                                    np.asarray(out1["vb"]),
                                    rtol=5e-4, atol=1e-5)
+        # a t_block that does not divide the respaced T=4 clamps down to
+        # the largest divisor (results are block-invariant), instead of
+        # raising minutes into an eval run when the user changes
+        # timestep_respacing without touching bpd_t_block
+        out3 = gen.eval_bpd(poses, wavs, jax.random.key(7),
+                            pose_seed_len=2, t_block=3)
+        np.testing.assert_array_equal(np.asarray(out3["total_bpd"]),
+                                      np.asarray(out2["total_bpd"]))
+        assert (2, 2) in gen._bpd_jit and (2, 3) not in gen._bpd_jit
 
 
 class TestResamplers:

@@ -53,9 +53,13 @@ class TestLocalLossSync:
             losses = [rng.random(4).astype(np.float32) for _ in range(2)]
 
             def gather(x, ts=ts, losses=losses):
-                # dtype tells ts apart from losses; returns every host's
-                # array in process order, as process_allgather would
-                return ts if x.dtype.kind in "iu" else losses
+                # every host's stacked (n, 2) (t, loss) rows in process
+                # order, as process_allgather would return them (the
+                # sampler gathers ONE pairs array, not two columns)
+                assert x.ndim == 2 and x.shape[1] == 2
+                return [np.stack([t.astype(np.float64),
+                                  ls.astype(np.float64)], axis=1)
+                        for t, ls in zip(ts, losses)]
 
             for h, sampler in enumerate(hosts):
                 sampler.update_with_local_losses(ts[h], losses[h],
