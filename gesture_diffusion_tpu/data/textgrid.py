@@ -18,8 +18,15 @@ class Interval(NamedTuple):
 
 
 def read_textgrid(path: str) -> List[List[Interval]]:
-    with open(path, encoding="utf-8", errors="replace") as f:
-        text = f.read()
+    # Praat saves UTF-16 with a BOM whenever any mark is non-ASCII (the
+    # reference's textgrid package BOM-sniffed too); decoding those as
+    # utf-8 would NUL-interleave the text and parse to zero tiers
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        text = raw.decode("utf-16")
+    else:
+        text = raw.decode("utf-8-sig", errors="replace")
     tiers: List[List[Interval]] = []
     # split on tier items; the long format marks each tier with 'item [n]:'
     tier_chunks = re.split(r"item\s*\[\d+\]\s*:", text)[1:]

@@ -40,11 +40,20 @@ class Vocab:
         self._dim = dim
 
     def build_embedding_table(self, rng: np.random.Generator) -> np.ndarray:
-        table = rng.normal(0, 0.1, (self.n_words, self._dim)).astype(np.float32)
+        # dim defaults like load_word_vectors' so a vocab that never called
+        # it (or was unpickled from one) still gets random embeddings
+        dim = getattr(self, "_dim", 300)
+        table = rng.normal(0, 0.1, (self.n_words, dim)).astype(np.float32)
         if getattr(self, "_pretrained_path", None):
-            with np.load(self._pretrained_path, allow_pickle=True) as z:
+            z = np.load(self._pretrained_path, allow_pickle=True)
+            try:
+                # .npy of a pickled {word: vec} dict arrives as a 0-d
+                # object array; .npz exposes the mapping directly
+                vecs = z.item() if isinstance(z, np.ndarray) else z
                 for word, idx in self.word2index.items():
-                    if word in z:
-                        table[idx] = z[word]
+                    if word in vecs:
+                        table[idx] = vecs[word]
+            finally:
+                getattr(z, "close", lambda: None)()
         self.word_embeddings = table
         return table

@@ -142,5 +142,5 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 def speech_frontend(wav: jax.Array, n_mels: int = 128) -> jax.Array:
     """Full frozen front-end: (N, T_wav) -> (N, n_mels, n_frames)."""
-    mel = mel_spectrogram(pre_emphasis(wav)) + 1e-6
+    mel = mel_spectrogram(pre_emphasis(wav), n_mels=n_mels) + 1e-6
     return instance_norm(mel)

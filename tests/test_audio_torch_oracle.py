@@ -31,6 +31,15 @@ def test_mel_matches_torch_stft(wav):
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
 
 
+def test_speech_frontend_forwards_n_mels(wav):
+    """speech_frontend(n_mels=k) must actually produce k mel channels —
+    the parameter used to be silently dropped (always 128)."""
+    import jax.numpy as jnp
+
+    out = np.asarray(audio.speech_frontend(jnp.asarray(wav), n_mels=64))
+    assert out.shape[1] == 64
+
+
 def test_pre_emphasis_matches_torch_conv(wav):
     import jax.numpy as jnp
     import torch.nn.functional as F

@@ -76,6 +76,46 @@ def test_read_textgrid(tmp_path):
     assert tiers[0][2].max_time == pytest.approx(30.0)
 
 
+def test_read_textgrid_utf16_bom(tmp_path):
+    """Praat writes UTF-16 with a BOM whenever a mark is non-ASCII; the
+    reader must BOM-sniff (decoding as utf-8 NUL-interleaves the text and
+    used to parse to zero tiers)."""
+    tg = SAMPLE_TEXTGRID.replace('text = "hello"', 'text = "héllo"')
+    for enc in ("utf-16-le", "utf-16-be", "utf-8-sig"):
+        p = str(tmp_path / f"{enc}.TextGrid")
+        bom = {"utf-16-le": b"\xff\xfe", "utf-16-be": b"\xfe\xff",
+               "utf-8-sig": b""}[enc]
+        with open(p, "wb") as f:
+            f.write(bom + tg.encode(enc))
+        tiers = read_textgrid(p)
+        assert len(tiers) == 1, enc
+        assert [iv.mark for iv in tiers[0]] == ["", "héllo", "world"], enc
+
+
+def test_vocab_embeddings_without_pretrained_and_from_npy(tmp_path):
+    """build_embedding_table works without load_word_vectors ever being
+    called (random embeddings, default dim), and accepts both an .npz
+    word->vec dump and a pickled-dict .npy."""
+    from gesture_diffusion_tpu.data.vocab import Vocab
+
+    v = Vocab("words")
+    v.index_word("hi")
+    table = v.build_embedding_table(np.random.default_rng(0))
+    assert table.shape == (v.n_words, 300)
+
+    vec = np.full(4, 7.0, np.float32)
+    npz = str(tmp_path / "v.npz")
+    np.savez(npz, hi=vec)
+    npy = str(tmp_path / "v.npy")
+    np.save(npy, {"hi": vec}, allow_pickle=True)
+    for path in (npz, npy):
+        v2 = Vocab("words")
+        idx = v2.index_word("hi")
+        v2.load_word_vectors(path, dim=4)
+        t2 = v2.build_embedding_table(np.random.default_rng(0))
+        np.testing.assert_array_equal(t2[idx], vec)
+
+
 def test_load_wav_resamples_and_scales(tmp_path):
     p = str(tmp_path / "a.wav")
     _write_toy_wav(p, seconds=2, sr=8000)
