@@ -110,9 +110,10 @@ def measure_ours(repetitions: int = 30, warmup: int = 5):
 
     # batch sweep (round-5): the reference's b64 is a GPU-era choice; on
     # this chip the fused sampler keeps scaling past it (PERF.md r5 —
-    # b256 is throughput-optimal, +88% over b64)
+    # b512 is the throughput knee: +16% over b256, and b1024 adds only
+    # ~4% more at 2x the latency)
     sweep50 = {}
-    for b in (128, 256):
+    for b in (128, 256, 512):
         wavb = jnp.asarray(np.random.default_rng(b).normal(
             0, 0.3, (b, WAV_LEN)).astype(np.float32))
         _, _, _, tb = gen50.eval_infer_time(
