@@ -20,11 +20,17 @@ class Interval(NamedTuple):
 def read_textgrid(path: str) -> List[List[Interval]]:
     # Praat saves UTF-16 with a BOM whenever any mark is non-ASCII (the
     # reference's textgrid package BOM-sniffed too); decoding those as
-    # utf-8 would NUL-interleave the text and parse to zero tiers
+    # utf-8 would NUL-interleave the text and parse to zero tiers.
+    # UTF-32 BOMs are sniffed first (UTF-32-LE starts ff fe 00 00 — a
+    # 2-byte check would misread it as UTF-16-LE), and every decode keeps
+    # errors="replace": a truncated/corrupt file degrades instead of
+    # killing a whole prep run.
     with open(path, "rb") as f:
         raw = f.read()
-    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
-        text = raw.decode("utf-16")
+    if raw[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        text = raw.decode("utf-32", errors="replace")
+    elif raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        text = raw.decode("utf-16", errors="replace")
     else:
         text = raw.decode("utf-8-sig", errors="replace")
     tiers: List[List[Interval]] = []

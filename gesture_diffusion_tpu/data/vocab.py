@@ -49,7 +49,16 @@ class Vocab:
             try:
                 # .npy of a pickled {word: vec} dict arrives as a 0-d
                 # object array; .npz exposes the mapping directly
-                vecs = z.item() if isinstance(z, np.ndarray) else z
+                if isinstance(z, np.ndarray):
+                    if z.shape != () or not isinstance(z.item(), dict):
+                        raise ValueError(
+                            f"{self._pretrained_path}: expected an .npz "
+                            "word->vector archive or an .npy pickled "
+                            "{word: vec} dict, got a plain array of shape "
+                            f"{z.shape} (dtype {z.dtype})")
+                    vecs = z.item()
+                else:
+                    vecs = z
                 for word, idx in self.word2index.items():
                     if word in vecs:
                         table[idx] = vecs[word]

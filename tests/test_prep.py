@@ -92,6 +92,44 @@ def test_read_textgrid_utf16_bom(tmp_path):
         assert [iv.mark for iv in tiers[0]] == ["", "héllo", "world"], enc
 
 
+def test_read_textgrid_corrupt_and_utf32(tmp_path):
+    """The reader never raises on malformed bytes: a truncated UTF-16 file
+    (odd byte count) degrades via errors='replace', and UTF-32 BOMs are
+    sniffed before UTF-16 (UTF-32-LE starts ff fe 00 00 — a 2-byte check
+    would NUL-ridden-decode it as UTF-16-LE and parse zero tiers)."""
+    tg = SAMPLE_TEXTGRID.replace('text = "hello"', 'text = "héllo"')
+
+    # truncated UTF-16-LE: chop the final byte -> odd length
+    p = str(tmp_path / "trunc.TextGrid")
+    with open(p, "wb") as f:
+        f.write((b"\xff\xfe" + tg.encode("utf-16-le"))[:-1])
+    tiers = read_textgrid(p)  # must not raise
+    assert len(tiers) == 1
+    assert tiers[0][1].mark == "héllo"
+
+    for enc, bom in (("utf-32-le", b"\xff\xfe\x00\x00"),
+                     ("utf-32-be", b"\x00\x00\xfe\xff")):
+        p = str(tmp_path / f"{enc}.TextGrid")
+        with open(p, "wb") as f:
+            f.write(bom + tg.encode(enc))
+        tiers = read_textgrid(p)
+        assert [iv.mark for iv in tiers[0]] == ["", "héllo", "world"], enc
+
+
+def test_vocab_plain_array_npy_clear_error(tmp_path):
+    """A word-vector path holding a plain (V, dim) array (not a dict dump)
+    must fail with a clear format error, not an opaque z.item() ValueError."""
+    from gesture_diffusion_tpu.data.vocab import Vocab
+
+    p = str(tmp_path / "plain.npy")
+    np.save(p, np.zeros((5, 4), np.float32))
+    v = Vocab("words")
+    v.index_word("hi")
+    v.load_word_vectors(p, dim=4)
+    with pytest.raises(ValueError, match="expected an .npz"):
+        v.build_embedding_table(np.random.default_rng(0))
+
+
 def test_vocab_embeddings_without_pretrained_and_from_npy(tmp_path):
     """build_embedding_table works without load_word_vectors ever being
     called (random embeddings, default dim), and accepts both an .npz
