@@ -188,6 +188,11 @@ def rotmat_to_quat(m: jax.Array) -> jax.Array:
 
 def quat_to_rotvec(q: jax.Array) -> jax.Array:
     """(..., 4) (w,x,y,z) -> (..., 3) rotation vector, angle in [0, pi]."""
+    # canonicalize to the w >= 0 pole first: for w < 0 inputs (quaternion
+    # double cover — scipy's as_quat is not sign-canonical) the raw formula
+    # returns the long-way vector with angle in (pi, 2pi], breaking the
+    # documented [0, pi] contract
+    q = jnp.where(q[..., :1] < 0, -q, q)
     w = q[..., 0]
     v = q[..., 1:]
     vnorm = jnp.linalg.norm(v, axis=-1)

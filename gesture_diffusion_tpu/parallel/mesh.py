@@ -24,7 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> int:
+                     process_id: Optional[int] = None,
+                     local_device_ids: Optional[Sequence[int]] = None) -> int:
     """Initialise multi-host JAX (DCN between hosts, ICI within) and return
     this host's process index.  Safe to call on a single host (no-op).
 
@@ -34,9 +35,15 @@ def init_distributed(coordinator_address: Optional[str] = None,
     per host via ``training.data.host_slice``.
     """
     if num_processes is not None and num_processes > 1:
+        kwargs = {}
+        if local_device_ids is not None:
+            # e.g. split one host's devices between co-located processes
+            # (the multi-process CPU validation in tests/test_multiprocess.py
+            # runs through exactly this path)
+            kwargs["local_device_ids"] = list(local_device_ids)
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
-                                   process_id=process_id)
+                                   process_id=process_id, **kwargs)
     return jax.process_index()
 
 

@@ -46,10 +46,14 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 # no cache both ranks do identical compile work and stay in step.
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                           num_processes=2, process_id=proc_id,
-                           local_device_ids=[0, 1])
 sys.path.insert(0, %(repo)r)
+# go through the PUBLIC multi-host entry point (parallel.init_distributed,
+# the reference's init_process_group replacement) so it is what the real
+# 2-process validation exercises, not a test-only direct initialize
+from gesture_diffusion_tpu.parallel import init_distributed
+assert init_distributed(coordinator_address=f"localhost:{port}",
+                        num_processes=2, process_id=proc_id,
+                        local_device_ids=[0, 1]) == proc_id
 import jax.numpy as jnp
 import optax
 

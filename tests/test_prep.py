@@ -1,5 +1,6 @@
 """Prep-phase tests: synthetic BEAT-format corpus -> sample pickles."""
 
+import json
 import os
 import pickle
 
@@ -251,6 +252,56 @@ def test_split_dataset_end_to_end(tmp_path):
         vocab = pickle.load(f)
     assert vocab.get_word_index("hello") >= 4
     assert (train["word_id"] > 0).any()
+
+
+def _write_toy_face_json(path, seconds=30, src_fps=60, n_weights=5, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = [{"weights": rng.uniform(0, 1, n_weights).round(4).tolist()}
+              for _ in range(int(seconds * src_fps))]
+    with open(path, "w") as f:
+        json.dump({"frames": frames}, f)
+
+
+def test_load_from_face(tmp_path):
+    """BEAT facial JSON -> (T, n_weights) at tgt_fps: every
+    (src_fps/tgt_fps)-th frame is kept (data_utils.py:206-221) and the
+    duration is the reduced length over tgt_fps."""
+    from gesture_diffusion_tpu.data.beat import load_from_face
+
+    p = str(tmp_path / "a.json")
+    _write_toy_face_json(p, seconds=2, src_fps=60, n_weights=3)
+    arr, dur = load_from_face(p, src_fps=60, tgt_fps=15)
+    assert arr.shape == (30, 3)          # 2 s * 60 fps / 4
+    assert dur == pytest.approx(2.0)
+    with open(p) as f:
+        raw = np.array([fr["weights"] for fr in json.load(f)["frames"]])
+    np.testing.assert_array_equal(arr, raw[::4])
+
+
+def test_split_dataset_with_face(tmp_path):
+    """use_face=True threads the facial track through sync/truncate/window:
+    every split gains a 'face' key windowed at face_fps alongside
+    pose/wav/word_id (data_utils.py's expressive-BEAT branch)."""
+    src = tmp_path / "BEAT" / "1"
+    os.makedirs(src)
+    for i in range(12):
+        base = str(src / f"1_speaker_0_{i}_{i}")
+        _write_toy_bvh(base + ".bvh", seed=i)
+        _write_toy_wav(base + ".wav", seed=i)
+        _write_toy_face_json(base + ".json", seed=i)
+        with open(base + ".TextGrid", "w") as f:
+            f.write(SAMPLE_TEXTGRID)
+    spt = str(tmp_path / "spt")
+    split_dataset(
+        src_dir_path=str(tmp_path / "BEAT"), human_ids=[1], wav_sr=16000,
+        sample_duration=10.0, spt_dir_path=spt,
+        pose_fps=20, joints=["Spine"], use_face=True, face_fps=15)
+    for split in ("train", "val", "test"):
+        with open(os.path.join(spt, f"{split}_samples.pkl"), "rb") as f:
+            data = pickle.load(f)
+        assert data["face"].shape[1:] == (150, 5)   # 10 s @ 15 fps
+        assert len(data["face"]) == len(data["pose"])
+        assert np.isfinite(data["face"]).all()
 
 
 def test_split_dataset_skips_broken_recordings(tmp_path):

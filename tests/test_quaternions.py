@@ -150,3 +150,36 @@ class TestPivots:
         a = np.array([3.0]); b = np.array([1.0])
         np.testing.assert_allclose(np.asarray(piv.add(a, b)),
                                    [4.0 - 2 * np.pi], atol=1e-6)
+
+
+class TestSmallHelpers:
+    """Direct coverage for the helpers the algebra tests only used
+    indirectly (ref Quaternions.py id/__abs__/dot/from_angle_axis)."""
+
+    def test_qid(self):
+        q = np.asarray(Q.qid((3, 2)))
+        assert q.shape == (3, 2, 4)
+        np.testing.assert_array_equal(q[..., 0], 1.0)
+        np.testing.assert_array_equal(q[..., 1:], 0.0)
+        np.testing.assert_array_equal(np.asarray(Q.qid()), [1, 0, 0, 0])
+
+    def test_qabs_unifies_pole(self, rand):
+        _, q0, _, r0, _ = rand
+        flipped = np.where(np.arange(len(q0))[:, None] % 2 == 0, -q0, q0)
+        a = np.asarray(Q.qabs(flipped))
+        assert (a[:, 0] >= 0).all()
+        _same_rot(a, q0)
+
+    def test_qdot(self, rand):
+        _, q0, q1, _, _ = rand
+        np.testing.assert_allclose(np.asarray(Q.qdot(q0, q1)),
+                                   np.sum(q0 * q1, -1), atol=1e-6)
+
+    def test_from_angle_axis_matches_scipy(self):
+        rng = np.random.default_rng(5)
+        angle = rng.uniform(0, np.pi, 30)
+        axis = rng.normal(0, 1, (30, 3))
+        ours = np.asarray(Q.from_angle_axis(angle, axis))
+        unit = axis / np.linalg.norm(axis, axis=-1, keepdims=True)
+        ref = _wxyz(R.from_rotvec(unit * angle[:, None]))
+        _same_rot(ours, ref)

@@ -148,3 +148,34 @@ def test_scaler_roundtrip(tmp_path):
     joblib.dump(SkScaler().fit(x), skp)
     sc3 = StandardScaler.load(skp)
     np.testing.assert_allclose(sc3.transform(x), SkScaler().fit(x).transform(x), atol=1e-9)
+
+
+def test_quat_and_rotmat_to_rotvec_match_scipy(random_eulers):
+    """Direct scipy oracle for the two converters the roundtrip suite only
+    exercised indirectly (quat_to_rotvec, rotmat_to_rotvec)."""
+    r = R.from_euler("XYZ", random_eulers, degrees=True)
+    ref = r.as_rotvec()
+    q = np.concatenate([r.as_quat()[:, 3:], r.as_quat()[:, :3]], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(rot.quat_to_rotvec(q)), ref, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rot.rotmat_to_rotvec(r.as_matrix())), ref, atol=1e-5)
+
+
+def test_rotmat_to_ortho6d_inverts_gram_schmidt(random_eulers):
+    """rotmat_to_ortho6d is exact on orthonormal input (first two columns),
+    so ortho6d_to_rotmat(rotmat_to_ortho6d(m)) == m."""
+    m = R.from_euler("XYZ", random_eulers, degrees=True).as_matrix()
+    o6 = np.asarray(rot.rotmat_to_ortho6d(m))
+    assert o6.shape == (len(m), 6)
+    np.testing.assert_allclose(
+        np.asarray(rot.ortho6d_to_rotmat(o6)), m, atol=1e-6)
+
+
+def test_unroll_log_rot_is_unroll_rotvec_alias():
+    """Reference imports the (missing) unroll_log_rot name
+    (datasets/dataset.py:8); our alias must stay behaviourally identical."""
+    rng = np.random.default_rng(3)
+    rv = rng.normal(0, 2, (17, 3))
+    np.testing.assert_array_equal(
+        np.asarray(rot.unroll_log_rot(rv)), np.asarray(rot.unroll_rotvec(rv)))

@@ -273,3 +273,22 @@ def test_wasserstein_1d_properties():
     assert float(wasserstein_distance_1d(a, a)) < 1e-5
     b = a + 2.0
     assert float(wasserstein_distance_1d(a, b)) == pytest.approx(2.0, abs=1e-3)
+
+
+def test_noam_decay_schedule_shape_and_floor():
+    """noam (plain) schedule: peaks at exactly base_lr at step==warmup,
+    rises before it, decays ~step^-0.5 after, and the optional minimum
+    floors the post-warmup tail only (ref trainer.py noam branch)."""
+    from gesture_diffusion_tpu.training.lr_schedule import noam_decay_schedule
+
+    sch = noam_decay_schedule(1e-3, warmup_steps=100)
+    assert float(sch(100)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(sch(50)) == pytest.approx(0.5e-3, rel=1e-6)      # linear ramp
+    assert float(sch(400)) == pytest.approx(0.5e-3, rel=1e-6)     # 1/sqrt(4)
+    vals = [float(sch(s)) for s in (1, 25, 50, 99, 100, 200, 400, 10000)]
+    assert all(a < b for a, b in zip(vals[:4], vals[1:5]))
+    assert all(a > b for a, b in zip(vals[4:], vals[5:]))
+
+    floored = noam_decay_schedule(1e-3, warmup_steps=100, minimum=4e-4)
+    assert float(floored(10000)) == pytest.approx(4e-4)
+    assert float(floored(50)) == pytest.approx(0.5e-3, rel=1e-6)  # ramp unfloored
