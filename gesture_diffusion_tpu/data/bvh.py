@@ -113,10 +113,16 @@ def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
     pos = 0
 
     def peek() -> str:
-        return tokens[pos]
+        # a sentinel (never a valid token) instead of IndexError: an empty
+        # or hierarchy-truncated file gets a named parse error below
+        return tokens[pos] if pos < len(tokens) else "<end of file>"
 
     def take(expect: Optional[str] = None) -> str:
         nonlocal pos
+        if pos >= len(tokens):
+            raise ValueError(
+                "BVH parse error: unexpected end of file"
+                + (f" (expected {expect!r})" if expect is not None else ""))
         tok = tokens[pos]
         if expect is not None and tok != expect:
             raise ValueError(f"BVH parse error: expected {expect!r}, got {tok!r}")
@@ -170,7 +176,7 @@ def parse_bvh(path_or_text: str, is_text: bool = False) -> BvhData:
 
     take("HIERARCHY")
     take("ROOT")
-    root_name = tokens[pos]  # parse_joint consumes the name itself
+    root_name = peek()  # parse_joint consumes the name itself
     parse_joint(None, "ROOT")
 
     # MOTION section is optional (hierarchy-template files omit it)

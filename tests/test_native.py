@@ -103,3 +103,17 @@ def test_bvh_hierarchy_only_still_parses():
             "\tEnd Site\n\t{\n\t\tOFFSET 0 1 0\n\t}\n}\n")
     d = parse_bvh(text, is_text=True)
     assert d.values.shape[0] == 0
+
+
+def test_bvh_truncated_hierarchy_named_error():
+    """An empty file or a hierarchy cut off mid-stream raises a NAMED parse
+    error, not a bare IndexError from token exhaustion (fuzz finding)."""
+    from gesture_diffusion_tpu.data.bvh import parse_bvh
+
+    full = ("HIERARCHY\nROOT Hips\n{\n\tOFFSET 0 0 0\n"
+            "\tCHANNELS 3 Zrotation Xrotation Yrotation\n"
+            "\tEnd Site\n\t{\n\t\tOFFSET 0 1 0\n\t}\n}\n")
+    for text in ("", "HIERARCHY", "HIERARCHY\nROOT",
+                 full.replace("\t}\n}\n", "\t}\n")):   # missing final brace
+        with pytest.raises(ValueError, match="BVH parse error"):
+            parse_bvh(text, is_text=True)
