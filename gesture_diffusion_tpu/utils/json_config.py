@@ -33,7 +33,16 @@ class JsonConfig(Mapping):
         elif isinstance(source, str):
             name = os.path.splitext(os.path.basename(source))[0]
             with open(source, "r") as f:
-                loaded = json.load(f)
+                try:
+                    loaded = json.load(f)
+                except json.JSONDecodeError as e:
+                    # name the file — the CLI surfaces this directly and a
+                    # bare 'Expecting value: line 1' is unplaceable
+                    raise ValueError(f"{source}: invalid JSON ({e})") from e
+            if not isinstance(loaded, dict):
+                raise ValueError(
+                    f"{source}: config root must be a JSON object, "
+                    f"got {type(loaded).__name__}")
             loaded.setdefault("Meta", {})
             loaded["Meta"].setdefault("name", name)
             data = loaded

@@ -133,3 +133,17 @@ def test_json_config_merge_does_not_alias_children():
     outer = JsonConfig({"sub": inner})
     outer.set("sub.a", 42)
     assert inner.a == 1
+
+
+def test_json_config_malformed_file_named_errors(tmp_path):
+    """A broken config file fails with the FILE NAMED in the error (a bare
+    JSONDecodeError is unplaceable from the CLI), and a non-object root
+    raises a clear format error instead of AttributeError (fuzz finding)."""
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    with pytest.raises(ValueError, match="bad.json.*invalid JSON"):
+        JsonConfig(str(bad))
+    arr = tmp_path / "arr.json"
+    arr.write_text("[1, 2, 3]")
+    with pytest.raises(ValueError, match="root must be a JSON object"):
+        JsonConfig(str(arr))
