@@ -44,12 +44,29 @@ def load_checkpoint(
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """:param target: a pytree with the right structure (e.g. fresh init)."""
     with open(path, "rb") as f:
-        tree = serialization.from_bytes(target, f.read())
+        raw = f.read()
+    try:
+        tree = serialization.from_bytes(target, raw)
+    except Exception as e:
+        # name the file: auto-resume (latest_checkpoint) retries every
+        # startup, so an unnamed msgpack error would block training with no
+        # hint which file is bad or how to recover.  Structure mismatches
+        # (flax's own ValueError) are already descriptive — re-raise those.
+        if isinstance(e, ValueError) and "target dict" in str(e):
+            raise
+        raise ValueError(
+            f"{path}: corrupt or unreadable checkpoint ({type(e).__name__}: "
+            f"{e}); move it aside to start fresh") from e
     meta_path = path + ".meta.json"
     metadata = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            metadata = json.load(f)
+            try:
+                metadata = json.load(f)
+            except json.JSONDecodeError as e:
+                raise ValueError(
+                    f"{meta_path}: corrupt checkpoint metadata ({e}); "
+                    "move it aside to start fresh") from e
     return tree, metadata
 
 

@@ -292,3 +292,44 @@ def test_noam_decay_schedule_shape_and_floor():
     floored = noam_decay_schedule(1e-3, warmup_steps=100, minimum=4e-4)
     assert float(floored(10000)) == pytest.approx(4e-4)
     assert float(floored(50)) == pytest.approx(0.5e-3, rel=1e-6)  # ramp unfloored
+
+
+def test_corrupt_checkpoint_named_error(tmp_path):
+    """Auto-resume retries latest_checkpoint on every startup, so a corrupt
+    file must fail NAMING the path with a recovery hint, not with flax's
+    bare msgpack error (fuzz finding); structure mismatches keep flax's own
+    descriptive error."""
+    import numpy as np
+    from gesture_diffusion_tpu.training.checkpoint import (
+        load_checkpoint, save_checkpoint)
+
+    target = {"params": {"w": np.ones((2, 2), np.float32)}}
+    p = str(tmp_path / "chkpt.msgpack")
+
+    with open(p, "wb") as f:
+        f.write(b"\x00garbage\xff" * 20)
+    with pytest.raises(ValueError, match="chkpt.msgpack.*move it aside"):
+        load_checkpoint(p, target)
+
+    save_checkpoint(p, target, {"step": 3})
+    raw = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(raw[: len(raw) // 2])
+    with pytest.raises(ValueError, match="chkpt.msgpack.*move it aside"):
+        load_checkpoint(p, target)
+
+    save_checkpoint(p, target, {"step": 3})
+    with open(p + ".meta.json", "w") as f:
+        f.write("{bad")
+    with pytest.raises(ValueError, match="meta.json.*move it aside"):
+        load_checkpoint(p, target)
+
+    # healthy restore still round-trips, and a structure mismatch keeps
+    # flax's message
+    with open(p + ".meta.json", "w") as f:
+        f.write('{"step": 3}')
+    tree, meta = load_checkpoint(p, target)
+    assert meta == {"step": 3}
+    np.testing.assert_array_equal(tree["params"]["w"], target["params"]["w"])
+    with pytest.raises(ValueError, match="target dict"):
+        load_checkpoint(p, {"different": np.zeros(3)})
