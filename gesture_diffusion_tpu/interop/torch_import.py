@@ -327,6 +327,16 @@ def import_torch_state_dict(state_dict: Mapping, cfg: DenoiserConfig) -> dict:
             f"unknown decoder type for torch import: {cfg.decoder_type}")
 
     sd = dict(state_dict)
+    # preflight: a wrong/partial checkpoint otherwise dies with a bare
+    # KeyError on whichever tensor is translated first, hiding what the
+    # dict actually contains
+    if not any(k.startswith("speech_encoder.") for k in sd):
+        sample = ", ".join(sorted(sd)[:5]) or "(empty)"
+        raise KeyError(
+            "state dict does not look like a reference gesture-DDPM "
+            f"checkpoint (no 'speech_encoder.*' keys; has {len(sd)} keys, "
+            f"e.g. {sample}). Pass model.state_dict() from the reference's "
+            "TransformerDDPM (model.py:23-117).")
     resnet_params, resnet_stats = _resnet(
         sd, "speech_encoder.wav_encoder.feat_extractor")
     params = {

@@ -219,3 +219,20 @@ def test_inpaint_model_parity():
                          n_layers=n_layers, model_type="inpaint",
                          pose_seed_len=seed_len)
     _assert_parity(ref, cfg, inpaint=True, seed_len=seed_len)
+
+
+def test_import_rejects_foreign_state_dict():
+    """A state dict that isn't a reference gesture-DDPM checkpoint fails
+    the preflight with a summary of what it contains, not a bare KeyError
+    on the first translated tensor (fuzz finding)."""
+    import numpy as np
+    import pytest
+
+    from gesture_diffusion_tpu.interop.torch_import import import_torch_state_dict
+    from gesture_diffusion_tpu.models import DenoiserConfig
+
+    cfg = DenoiserConfig(d_pose=6)
+    with pytest.raises(KeyError, match="does not look like a reference"):
+        import_torch_state_dict({"nonsense.weight": np.zeros((3, 3))}, cfg)
+    with pytest.raises(KeyError, match="does not look like a reference"):
+        import_torch_state_dict({}, cfg)
