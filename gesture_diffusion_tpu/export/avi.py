@@ -31,6 +31,30 @@ def _list(kind: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", kind + payload)
 
 
+def check_frame(f: np.ndarray, i: int, h, w) -> np.ndarray:
+    """Shared muxer frame validation: (H, W, 3) uint8, uniform sizes.
+
+    Without it a float frame silently truncates to near-black and a
+    mid-stream size change writes a container whose header promises the
+    first frame's geometry — both produced 'valid' but corrupt files."""
+    f = np.asarray(f)
+    if f.dtype != np.uint8:
+        raise ValueError(
+            f"frame {i}: expected uint8 RGB, got dtype {f.dtype} "
+            "(scale to 0-255 and cast explicitly)")
+    if f.ndim != 3 or f.shape[-1] != 3:
+        raise ValueError(f"frame {i}: expected (H, W, 3), got {f.shape}")
+    if h is not None and f.shape[:2] != (h, w):
+        raise ValueError(
+            f"frame {i}: size {f.shape[:2]} != first frame's {(h, w)}")
+    return np.ascontiguousarray(f)
+
+
+def check_fps(fps) -> None:
+    if not (float(fps) > 0 and np.isfinite(float(fps))):
+        raise ValueError(f"fps must be positive and finite, got {fps!r}")
+
+
 def encode_jpeg(frame: np.ndarray, quality: int) -> bytes:
     """(H, W, 3) uint8 RGB -> JPEG bytes (shared by the avi/mp4 muxers)."""
     from PIL import Image
@@ -68,11 +92,12 @@ def write_avi(
     # holds ~1 GB of raw RGB; the compressed chunks are what we keep), and
     # never hold a caller-yielded buffer past its iteration — producers
     # that reuse a render buffer stay correct
+    check_fps(fps)
     it = iter(frames)
     encoded = []
     h = w = None
-    for f in it:
-        f = np.ascontiguousarray(f, np.uint8)
+    for i, f in enumerate(it):
+        f = check_frame(f, i, h, w)
         if h is None:
             h, w, _ = f.shape
         encoded.append(_encode_frame(f, codec, quality))

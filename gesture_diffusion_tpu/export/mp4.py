@@ -25,7 +25,7 @@ from typing import Iterable, List, Optional
 
 import numpy as np
 
-from .avi import encode_jpeg
+from .avi import check_fps, check_frame, encode_jpeg
 
 _MVHD_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                            0x40000000)
@@ -108,10 +108,11 @@ def write_mp4(
 
     Frames are consumed one at a time (producers may reuse their render
     buffer); only the compressed JPEGs are held."""
+    check_fps(fps)
     encoded: List[bytes] = []
     h = w = None
-    for f in frames:
-        f = np.ascontiguousarray(f, np.uint8)
+    for i, f in enumerate(frames):
+        f = check_frame(f, i, h, w)
         if h is None:
             h, w, _ = f.shape
         encoded.append(encode_jpeg(f, quality))
@@ -140,8 +141,6 @@ def write_mp4(
     audio_off = video_off + len(video_bytes)
 
     movie_timescale = 1000
-    if not (float(fps) > 0 and np.isfinite(float(fps))):
-        raise ValueError(f"fps must be positive and finite, got {fps!r}")
     if float(fps) == int(fps):
         # integer rate: exact 1-tick-per-frame tables (the common path,
         # kept bit-identical with earlier writers)

@@ -547,3 +547,30 @@ def test_mp4_stereo_audio_sample_tables():
         assert aud["timescale"] == 8000
         lo, hi = info["mdat_range"]
         assert aud["chunk_offset"] + 1600 * 4 == hi
+
+
+class TestMuxerValidation:
+    """Shared frame/fps validation (fuzz findings): float frames silently
+    truncated to near-black JPEGs, a mid-stream size change wrote a
+    container promising the first frame's geometry, and write_avi divided
+    by zero on fps=0."""
+
+    @pytest.mark.parametrize("writer_ext", ["avi", "mp4"])
+    def test_rejects_bad_frames_and_fps(self, tmp_path, writer_ext):
+        from gesture_diffusion_tpu.export import write_avi, write_mp4
+
+        writer = {"avi": write_avi, "mp4": write_mp4}[writer_ext]
+        p = str(tmp_path / f"t.{writer_ext}")
+        ok = np.zeros((32, 32, 3), np.uint8)
+
+        with pytest.raises(ValueError, match="expected uint8"):
+            writer(p, [ok.astype(np.float32)], fps=10)
+        with pytest.raises(ValueError, match="expected \\(H, W, 3\\)"):
+            writer(p, [np.zeros((32, 32), np.uint8)], fps=10)
+        with pytest.raises(ValueError, match="size .* != first frame"):
+            writer(p, [ok, np.zeros((16, 16, 3), np.uint8)], fps=10)
+        with pytest.raises(ValueError, match="fps must be positive"):
+            writer(p, [ok], fps=0)
+        # healthy write unchanged
+        writer(p, [ok, ok], fps=10)
+        assert os.path.getsize(p) > 0
