@@ -364,6 +364,17 @@ class Generator:
         return jitted
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _check_wav_dtype(wav) -> None:
+        """Integer PCM (what scipy.io.wavfile.read returns) is 32768x the
+        trained [-1, 1] scale; silently casting it produced garbage poses
+        with no error.  Use data.beat.load_wav (scales + resamples)."""
+        dt = wav.dtype if hasattr(wav, "dtype") else np.asarray(wav).dtype
+        if np.issubdtype(dt, np.integer):
+            raise TypeError(
+                f"wav has integer dtype {dt}: expected float audio in "
+                "[-1, 1] (load it with data.beat.load_wav)")
+
     def generate_sample(
         self,
         wavs: jax.Array,                       # (N, T_wav)
@@ -379,6 +390,7 @@ class Generator:
     ) -> jax.Array:
         """One window batch -> (N, T, C) poses."""
         assert wavs.ndim == 2, f"wavs must be (N, T_wav), got {wavs.shape}"
+        self._check_wav_dtype(wavs)
         n = wavs.shape[0]
         with_inpaint = inpaint_poses is not None
         if with_inpaint:
@@ -461,6 +473,7 @@ class Generator:
         """Long audio -> (N, T_seq, C) by overlapped windows with seed-pose
         continuation (generator.py:80-195)."""
         assert wav_seqs.ndim == 2
+        self._check_wav_dtype(wav_seqs)
         n_seq, wav_seq_len = wav_seqs.shape
         seq_len, num_div = window_plan(wav_seq_len, wav_sr, pose_fps,
                                        pose_window_len, pose_seed_len)
@@ -855,6 +868,7 @@ class GestureStream:
         final chunk differs) completed so far.  Blocks only when more than
         ``max_in_flight`` windows are pending."""
         assert not self._finished, "stream already flushed"
+        Generator._check_wav_dtype(audio)
         chunk = np.asarray(audio, np.float32)
         if chunk.ndim == 1:
             chunk = chunk[None]

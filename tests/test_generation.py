@@ -150,3 +150,18 @@ class TestEvalPaths:
         mean_ms, std_ms, steps_per_sec = gen.eval_infer_time(
             _wav(1), D_POSE, T_POSE, repetitions=2, warmup=1)
         assert mean_ms > 0 and steps_per_sec > 0
+
+
+def test_integer_wav_rejected(gen):
+    """Integer PCM (scipy.io.wavfile.read's output) is 32768x the trained
+    [-1,1] scale; silently casting produced garbage poses with no error.
+    All three public wav entries reject it (fuzz finding)."""
+    int_wav = np.zeros((2, T_WAV), np.int16)
+    with pytest.raises(TypeError, match="integer dtype.*load_wav"):
+        gen.generate_sample(int_wav, D_POSE, T_POSE, jax.random.key(1))
+    with pytest.raises(TypeError, match="integer dtype"):
+        gen.generate_sequence(int_wav, 16000, D_POSE, 20, T_POSE, 5,
+                              jax.random.key(1))
+    stream = gen.stream(16000, D_POSE, 20, T_POSE, 5, jax.random.key(1))
+    with pytest.raises(TypeError, match="integer dtype"):
+        stream.push(np.zeros(1600, np.int32))
