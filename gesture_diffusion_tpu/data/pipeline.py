@@ -128,6 +128,36 @@ def window_slice(
     return pose_windows, wav_windows
 
 
+def _load_cache(path: str, keys: Tuple[str, ...]) -> Optional[dict]:
+    """Read a derived-artifact pickle; None (→ rebuild) if it is corrupt.
+
+    A truncated or foreign ``_data.pkl``/``_seqs.pkl`` (killed run, disk
+    full) used to crash every subsequent phase with a bare UnpicklingError
+    until the file was deleted by hand — but these are CACHES, rebuildable
+    from ``_samples.pkl``, so degrade instead of dying."""
+    try:
+        with open(path, "rb") as f:
+            loaded = pickle.load(f)
+        if not isinstance(loaded, dict) or any(k not in loaded for k in keys):
+            raise ValueError(f"missing keys (expected {keys})")
+        return loaded
+    except FileNotFoundError:
+        return None
+    except Exception as e:
+        print(f"[Warning] {path}: unreadable cache ({type(e).__name__}: "
+              f"{e}); rebuilding")
+        return None
+
+
+def _dump_cache(path: str, payload: dict) -> None:
+    """Atomic cache write: a killed run leaves the old file (or nothing),
+    never a truncated pickle."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
 class WindowedDataset:
     """TrainDataset-equivalent: cached windowed tensors.
 
@@ -158,12 +188,9 @@ class WindowedDataset:
                   "pose_stride_len": pose_stride_len, "pose_fps": pose_fps,
                   "wav_sr": wav_sr, "pose_representation": pose_representation}
         if os.path.exists(data_path) and (not keep_seqs or os.path.exists(seq_path)):
-            with open(data_path, "rb") as f:
-                cached = pickle.load(f)
-            seqs = None
-            if keep_seqs:
-                with open(seq_path, "rb") as f:
-                    seqs = pickle.load(f)
+            cached = _load_cache(data_path, ("wav", "pose"))
+            seqs = _load_cache(seq_path, ("hid", "wav", "pose")) if keep_seqs \
+                else None
             # a cache built with different window/fps/representation params
             # must not be silently reused (it has the wrong shapes or, for
             # a different representation of the same dim, wrong VALUES).
@@ -173,18 +200,30 @@ class WindowedDataset:
             # caches (reference-era pickles) are trusted as-is.
             stale = [p for p, c in [(data_path, cached), (seq_path, seqs)]
                      if c is not None and c.get("params", params) != params]
-            if not stale:
+            if not stale and cached is not None and (not keep_seqs
+                                                     or seqs is not None):
                 self.wavs, self.poses = cached["wav"], cached["pose"]
                 if keep_seqs:
                     self.hid_seqs, self.wav_seqs, self.pose_seqs = (
                         seqs["hid"], seqs["wav"], seqs["pose"])
                 return
-            print(f"[Warning] {', '.join(stale)} built with different "
-                  f"params than {params} requested; rebuilding")
+            if stale:
+                print(f"[Warning] {', '.join(stale)} built with different "
+                      f"params than {params} requested; rebuilding")
 
         os.makedirs(dst_dir_path, exist_ok=True)
-        with open(samples_path, "rb") as f:
-            samples = pickle.load(f)
+        try:
+            with open(samples_path, "rb") as f:
+                samples = pickle.load(f)
+            if not isinstance(samples, dict) or "pose" not in samples \
+                    or "wav" not in samples:
+                raise ValueError("not a {hid, pose, wav} samples dict")
+        except Exception as e:
+            # unlike the _data/_seqs caches this is a real input artifact —
+            # it cannot be rebuilt from here, so fail with the remedy
+            raise ValueError(
+                f"{samples_path}: corrupt or unrecognised samples pickle "
+                f"({type(e).__name__}: {e}); re-run the prep phase") from e
         hids = samples.get("hid")
         poses = np.asarray(samples["pose"])
         wavs = np.asarray(samples["wav"])
@@ -220,21 +259,24 @@ class WindowedDataset:
                         "rebuild the train split first")
             if os.path.exists(scaler_path):
                 scaler = StandardScaler.load(scaler_path)
-            else:
+            elif os.path.exists(legacy_scaler):
                 scaler = StandardScaler.load(legacy_scaler)
+            else:
+                raise ValueError(
+                    f"no scaler in {dst_dir_path} (expected scaler.npz or "
+                    "the reference's scaler.jl): build the train split "
+                    "first — it fits and saves the scaler")
         poses = scaler.transform(poses.reshape(n * t, c)).reshape(n, t, c)
 
         if keep_seqs:
             self.hid_seqs, self.wav_seqs, self.pose_seqs = hids, wavs, poses
-            with open(seq_path, "wb") as f:
-                pickle.dump({"hid": hids, "wav": wavs, "pose": poses,
-                             "params": params}, f)
+            _dump_cache(seq_path, {"hid": hids, "wav": wavs, "pose": poses,
+                                   "params": params})
 
         self.poses, self.wavs = window_slice(
             poses, wavs, pose_window_len, pose_stride_len, pose_fps, wav_sr)
-        with open(data_path, "wb") as f:
-            pickle.dump({"wav": self.wavs, "pose": self.poses,
-                         "params": params}, f)
+        _dump_cache(data_path, {"wav": self.wavs, "pose": self.poses,
+                                "params": params})
 
     # -- reference API ------------------------------------------------------
     def __len__(self):

@@ -428,6 +428,61 @@ class TestWindowedDataset:
         assert seqs["pose"].shape == (3, 80, 6)
         assert seqs["wav"].shape == (3, 64000)
 
+    def test_corrupt_cache_rebuilds(self, tmp_path, capsys):
+        """A truncated/foreign _data.pkl is a CACHE (killed run, disk full):
+        it must be rebuilt with a warning, not crash every later phase with
+        a bare UnpicklingError until someone deletes it by hand."""
+        spt = str(tmp_path / "spt")
+        dst = str(tmp_path / "dst")
+        os.makedirs(spt)
+        self._make_samples(spt, "train")
+        args = (os.path.join(spt, "train_samples.pkl"), dst,
+                40, 20, 20, 16000, "log_rot")
+        ds = WindowedDataset(*args)
+        data_path = os.path.join(dst, "train_data.pkl")
+        with open(data_path, "rb") as f:
+            good = f.read()
+        for bad in (good[: len(good) // 2],          # truncated mid-write
+                    b"\x80\x04garbage",              # not a pickle
+                    pickle.dumps([1, 2, 3])):        # foreign object
+            with open(data_path, "wb") as f:
+                f.write(bad)
+            ds2 = WindowedDataset(*args)
+            np.testing.assert_array_equal(ds2.poses, ds.poses)
+            assert "unreadable cache" in capsys.readouterr().out
+        # and the rebuild healed the file in place
+        ds3 = WindowedDataset(*args)
+        np.testing.assert_array_equal(ds3.poses, ds.poses)
+        assert "unreadable cache" not in capsys.readouterr().out
+
+    def test_corrupt_samples_named_error(self, tmp_path):
+        """_samples.pkl is a real input (not rebuildable from here): a
+        corrupt one must fail naming the file and the remedy."""
+        spt = str(tmp_path / "spt")
+        os.makedirs(spt)
+        path = os.path.join(spt, "train_samples.pkl")
+        with open(path, "wb") as f:
+            f.write(b"not a pickle")
+        with pytest.raises(ValueError, match="re-run the prep phase"):
+            WindowedDataset(path, str(tmp_path / "dst"),
+                            40, 20, 20, 16000, "log_rot")
+        with open(path, "wb") as f:
+            pickle.dump({"pose": np.zeros((1, 4, 3))}, f)  # missing wav
+        with pytest.raises(ValueError, match="samples pickle"):
+            WindowedDataset(path, str(tmp_path / "dst"),
+                            40, 20, 20, 16000, "log_rot")
+
+    def test_missing_scaler_named_error(self, tmp_path):
+        """Building a non-train split before any train split: name the fix
+        (the old path died with FileNotFoundError on the legacy .jl)."""
+        spt = str(tmp_path / "spt")
+        os.makedirs(spt)
+        self._make_samples(spt, "val")
+        with pytest.raises(ValueError, match="build the train split first"):
+            WindowedDataset(os.path.join(spt, "val_samples.pkl"),
+                            str(tmp_path / "dst"),
+                            40, 20, 20, 16000, "log_rot")
+
 
 class TestPoseTypeConverter:
     def test_dir_vec_and_euler_paths(self, tmp_path):
