@@ -149,8 +149,9 @@ class Generator:
         # packs; they differ only in t-independent prep (s2g_v2 blends the
         # speech streams, default/inpaint concat them along time) and, for
         # inpaint, an additive conditioning term hoisted into the kernel's
-        # x_add input.  n_mem 8-alignment is checked at runtime (the
-        # time-concat memory length depends on the wav length).
+        # x_add input.  Window/memory lengths that are not multiples of 8
+        # are zero-padded to sublane alignment and masked exactly in the
+        # kernel (t_real/n_mem_real) — no alignment fallback remains.
         supported = (
             cfg.decoder_type == "oneway_cross_attention"
             and cfg.model_type in ("s2g_v2", "default", "inpaint")
@@ -175,8 +176,11 @@ class Generator:
             # compute (no cast churn around rolls/LN; full-rate VPU f32)
             weight_dtype = self.fused_dtype or jnp.bfloat16
             self._fused_key = (pose_dim, pose_window_len)
+            # pack the positional encoding at the 8-ALIGNED window length
+            # (pad rows read real PE values — garbage rows, masked anyway)
             self._fused_packed = fs.pack_oneway_denoiser(
-                self.variables["params"], pose_dim, pose_window_len,
+                self.variables["params"], pose_dim,
+                pose_window_len + (-pose_window_len) % 8,
                 weight_dtype=weight_dtype)
             tmap = (np.asarray(self.timestep_map)
                     if self.timestep_map is not None
@@ -253,8 +257,14 @@ class Generator:
                 self.variables, wavs, rng)
         else:
             mem_rows = self._fused_prep(self.variables, wavs)
-        if mem_rows.shape[1] % 8 != 0:
-            return None  # unaligned memory length -> scan fallback
+        # Mosaic sublane slicing needs 8-aligned per-clip row blocks; zero-
+        # pad the memory (time-concat layouts are rarely aligned) and the
+        # pose window to alignment and tell the kernel the real counts —
+        # pad rows are masked out of attention/dconv exactly, so this is
+        # the same math as the scan path, not an approximation
+        n_mem_real = int(mem_rows.shape[1])
+        n_mem_pad = (-n_mem_real) % 8
+        t_pad = (-pose_window_len) % 8
 
         # conditioning dispatch AFTER the alignment gate: a model that
         # permanently falls back to scan must not pay a wasted ~1 ms
@@ -266,10 +276,13 @@ class Generator:
 
         # the cached run() closure captures pose_window_len/dp_pad — key on
         # them too, or a window/pose-dim change reuses a stale closure
+        # (n_mem_real varies with the wav length: key on it as well)
         key = ("exec", inpaint_poses is not None, ramp is not None, n_clips,
-               stochastic, pose_dim, pose_window_len, xadd is not None)
+               stochastic, pose_dim, pose_window_len, xadd is not None,
+               n_mem_real)
         if key not in self._sample_jit:
             dp_pad = ((pose_dim + 127) // 128) * 128
+            t_win = pose_window_len + t_pad
             # measured on v5e: f32 compute wins at batch<=2 (VPU-bound, no
             # cast churn); clip-packed programs are matmul-bound and the
             # f32 score/attn transients overflow the 16 MB VMEM at 8 clips,
@@ -281,15 +294,20 @@ class Generator:
             def run(packed, tmap, coefs, mem_rows, noise, ip, im, rp, seed,
                     xadd):
                 # memory rows feed bf16 matmuls anyway — ship them in the
-                # compute dtype so the kernel block is half-size
-                mem_rows = mem_rows.astype(cd)
+                # compute dtype so the kernel block is half-size (pad rows
+                # to sublane alignment inside the jit: zero rows, masked
+                # out of attention/dconv by the kernel)
                 n = noise.shape[0]
-                x_T = jnp.zeros((n, pose_window_len, dp_pad)
-                                ).at[..., :pose_dim].set(noise)
+                mem = jnp.zeros((n, n_mem_real + n_mem_pad, mem_rows.shape[2]),
+                                cd).at[:, :n_mem_real].set(
+                    mem_rows.astype(cd))
+                x_T = jnp.zeros((n, t_win, dp_pad)
+                                ).at[:, :pose_window_len, :pose_dim].set(noise)
                 x_add = None
                 if xadd is not None:
-                    x_add = jnp.zeros((n, pose_window_len, dp_pad)
-                                      ).at[..., :pose_dim].set(
+                    x_add = jnp.zeros((n, t_win, dp_pad)
+                                      ).at[:, :pose_window_len,
+                                           :pose_dim].set(
                         xadd.astype(jnp.float32))
                 if ip is None:
                     # identity blend: pass None so the kernel skips the
@@ -299,18 +317,22 @@ class Generator:
                     tf = 0.0 if rp is None else rp
                     a = (1.0 - tf) * im * ip
                     b = tf * im + (1.0 - im)
-                    blend_a = jnp.zeros((n, pose_window_len, dp_pad)
-                                        ).at[..., :pose_dim].set(a)
-                    blend_b = jnp.ones((n, pose_window_len, dp_pad)
-                                       ).at[..., :pose_dim].set(
+                    blend_a = jnp.zeros((n, t_win, dp_pad)
+                                        ).at[:, :pose_window_len,
+                                             :pose_dim].set(a)
+                    blend_b = jnp.ones((n, t_win, dp_pad)
+                                       ).at[:, :pose_window_len,
+                                            :pose_dim].set(
                         jnp.broadcast_to(b, ip.shape))
                 out = fs.fused_ddim_sample(
-                    packed, x_T, mem_rows, tmap, coefs, blend_a, blend_b,
+                    packed, x_T, mem, tmap, coefs, blend_a, blend_b,
                     n_layers=cfg.n_layers, heads=cfg.heads,
                     num_steps=self.sched.num_timesteps,
                     compute_dtype=cd, interpret=interp, n_clips=n_clips,
-                    stochastic=stochastic, seed=seed, x_add=x_add)
-                return out[..., :pose_dim]
+                    stochastic=stochastic, seed=seed, x_add=x_add,
+                    t_real=pose_window_len if t_pad else None,
+                    n_mem_real=n_mem_real if n_mem_pad else None)
+                return out[:, :pose_window_len, :pose_dim]
 
             self._sample_jit[key] = jax.jit(run)
         coefs = self._fused_ddpm_coefs if stochastic else self._fused_coefs
@@ -408,7 +430,7 @@ class Generator:
 
         n_clips = math.gcd(n, 8)
         fused_eligible = (
-            sample_alg in ("ddim", "ddpm") and pose_window_len % 8 == 0
+            sample_alg in ("ddim", "ddpm")
             and (n <= 2 or n_clips >= 4) and self._fused_enabled())
         # noise is None + fused eligible: memory prep, split, noise and
         # kernel-seed all run in ONE jitted dispatch (_fused_prep_rng) —

@@ -295,7 +295,8 @@ def _gaussian_noise(shape):
 def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
                  num_steps: int, compute_dtype, n_clips: int = 1,
                  stochastic: bool = False, with_xadd: bool = False,
-                 with_blend: bool = True):
+                 with_blend: bool = True, t_real: "int | None" = None,
+                 m_real: "int | None" = None):
     """n_mem counts PER-CLIP memory rows including the timestep token slot
     (row 0); speech rows live at 1..n_mem-1 of each clip's block.
 
@@ -309,8 +310,20 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
     model type's t-independent conditioning MLP output (reference
     ``models/model.py:120-166`` recomputes that MLP every denoise step;
     here it is hoisted into the prep and enters the kernel as data).
+
+    t_real / m_real (None = all rows real): Mosaic's sublane slicing needs
+    t_window and n_mem to be multiples of 8, so callers zero-PAD each
+    clip's x / memory block to alignment and name the real row counts
+    here.  Padding is exact, not approximate: pad rows are removed from
+    attention (a -1e30 additive column mask before every softmax) and
+    from the depthwise conv (shift matrices drop links INTO pad rows, so
+    the last real row's next-tap is zero exactly like an unpadded
+    boundary).  Pad-row outputs are garbage that never feeds a real row;
+    the caller slices them off.
     """
     cd = compute_dtype
+    t_real = t_window if t_real is None else t_real
+    m_real = n_mem if m_real is None else m_real
 
     def ln(x):
         """Normalize-only (affine folded into the consuming matmul)."""
@@ -319,17 +332,20 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
         return ((x32 - mu) * jax.lax.rsqrt(var + LN_EPS)).astype(cd)
 
-    def shift_mats(n_rows, clip_len):
+    def shift_mats(n_rows, clip_len, real_len):
         """Loop-invariant (n_rows, n_rows) row-shift permutation matrices
         with clip-boundary zeroing baked in: S_prev @ x == x shifted down
         one row (x[t-1], zero at each clip's first row), S_next @ x ==
-        x[t+1] (zero at each clip's last row)."""
+        x[t+1] (zero at each clip's last row).  real_len < clip_len also
+        drops links into each block's pad tail, so the last REAL row's
+        next-tap is zero — identical to an unpadded block boundary."""
         i = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows), 0)
         j = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_rows), 1)
-        s_prev = jnp.where((j == i - 1) & (i % clip_len != 0),
+        valid_j = j % clip_len < real_len
+        s_prev = jnp.where((j == i - 1) & (i % clip_len != 0) & valid_j,
                            1.0, 0.0).astype(cd)
-        s_next = jnp.where((j == i + 1) & (i % clip_len != clip_len - 1),
-                           1.0, 0.0).astype(cd)
+        s_next = jnp.where((j == i + 1) & (i % clip_len != clip_len - 1)
+                           & valid_j, 1.0, 0.0).astype(cd)
         return s_prev, s_next
 
     def dconv(x, taps, bias, shifts):
@@ -355,7 +371,8 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, d_model), 1)
         return [(lane // d_k == h).astype(cd) for h in range(heads)]
 
-    def attention(q, k, v, wo, bo, d_model, q_len, k_len, out_masks):
+    def attention(q, k, v, wo, bo, d_model, q_len, k_len, out_masks,
+                  k_mask=None):
         """Per-clip, head-stacked attention.  For each packed clip the
         stack Q = [q_c * m_h for h in heads] (lane-masked queries on rows)
         makes ONE (H*q_len, D) x (D, k_len) matmul yield every head's
@@ -380,6 +397,8 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
             s = jax.lax.dot_general(
                 q_stack, kc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
+            if k_mask is not None:
+                s = s + k_mask          # -1e30 on pad key columns
             a = jax.nn.softmax(s, axis=1).astype(cd)
             o_stack = jnp.dot(a, vc, preferred_element_type=jnp.float32
                               ).astype(cd)
@@ -419,9 +438,18 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
         # loop (loop-invariant)
         rows_x = n_clips * t_window
         rows_m = n_clips * n_mem
-        shifts_x = shift_mats(rows_x, t_window)
-        shifts_m = shift_mats(rows_m, n_mem)
+        shifts_x = shift_mats(rows_x, t_window, t_real)
+        shifts_m = shift_mats(rows_m, n_mem, m_real)
         out_masks = head_masks(d_model)
+
+        def pad_kmask(k_len, real):
+            if real == k_len:
+                return None
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, k_len), 1)
+            return jnp.where(col < real, 0.0, -1e30)
+
+        kmask_x = pad_kmask(t_window, t_real)
+        kmask_m = pad_kmask(n_mem, m_real)
 
         def step(i, x):
             si = num_steps - 1 - i
@@ -459,7 +487,8 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
                 k = qkv[:, d_model:2 * d_model]
                 v = qkv[:, 2 * d_model:]
                 h = h + attention(q, k, v, p.self_wo[l], p.self_bo[l],
-                                  d_model, t_window, t_window, out_masks)
+                                  d_model, t_window, t_window, out_masks,
+                                  k_mask=kmask_x)
 
                 # cross-attention: q from x, merged KV from memory
                 z = ln(h)
@@ -474,7 +503,8 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
                 k = kv[:, :d_model]
                 v = kv[:, d_model:]
                 h = h + attention(q, k, v, p.cross_wo[l], p.cross_bo[l],
-                                  d_model, t_window, n_mem, out_masks)
+                                  d_model, t_window, n_mem, out_masks,
+                                  k_mask=kmask_m)
 
                 z = ln(h)
                 f = jnp.dot(z, p.ff_w1[l], preferred_element_type=jnp.float32
@@ -529,7 +559,8 @@ def _make_kernel(n_layers: int, heads: int, t_window: int, n_mem: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_layers", "heads", "num_steps", "compute_dtype",
-                     "interpret", "n_clips", "stochastic"))
+                     "interpret", "n_clips", "stochastic", "t_real",
+                     "n_mem_real"))
 def fused_ddim_sample(
     packed: PackedDenoiser,
     x_T: jax.Array,          # (N, T, Dp_pad) f32 initial noise (pose cols padded)
@@ -550,6 +581,8 @@ def fused_ddim_sample(
     stochastic: bool = False,
     seed: "jax.Array | int" = 0,
     x_add: "jax.Array | None" = None,
+    t_real: "int | None" = None,
+    n_mem_real: "int | None" = None,
 ) -> jax.Array:
     """stochastic=True runs ancestral DDPM: coefs must come from
     ddpm_coefficients() and per-step Gaussian noise is drawn from the
@@ -557,7 +590,13 @@ def fused_ddim_sample(
 
     x_add, when given, must be (N, T, Dp_pad) f32: a loop-invariant term
     added to the diffusion state before the model's input projection each
-    step (inpaint model type conditioning, hoisted out of the loop)."""
+    step (inpaint model type conditioning, hoisted out of the loop).
+
+    t_real / n_mem_real: when the true window / memory length is not a
+    multiple of 8, zero-pad x_T (and blend/x_add) rows to t_window and
+    mem_rows to n_mem, and pass the REAL counts here — pad rows are
+    masked out of attention and the depthwise conv exactly (see
+    _make_kernel), and the caller slices the output back to t_real."""
     n, t_window, dp_pad = x_T.shape
     n_mem = mem_rows.shape[1]
     d_model = packed.w_emm.shape[0]
@@ -570,7 +609,14 @@ def fused_ddim_sample(
         # rather than dying later in an opaque lowering error
         raise ValueError(
             f"fused sampler needs t_window ({t_window}) and n_mem ({n_mem}) "
-            "to be multiples of 8")
+            "to be multiples of 8 (zero-pad and pass t_real/n_mem_real)")
+    for name, real, padded in (("t_real", t_real, t_window),
+                               ("n_mem_real", n_mem_real, n_mem)):
+        if real is not None and not 0 < real <= padded:
+            raise ValueError(f"{name} ({real}) must be in (0, {padded}]")
+    if n_mem_real is not None and n_mem_real < 2:
+        raise ValueError("n_mem_real must cover the timestep-token row "
+                         "plus at least one speech row")
     # the kernel indexes tmap/coefs rows with a DYNAMIC step index in
     # [0, num_steps); dynamic SMEM reads are not bounds-checked, so a row
     # mismatch would read garbage silently instead of raising
@@ -605,7 +651,8 @@ def fused_ddim_sample(
                           compute_dtype, n_clips=n_clips,
                           stochastic=stochastic,
                           with_xadd=x_add is not None,
-                          with_blend=with_blend)
+                          with_blend=with_blend, t_real=t_real,
+                          m_real=n_mem_real)
     from ..models.denoiser import timestep_freqs
 
     freqs = timestep_freqs(d_model)[None, :]

@@ -264,3 +264,96 @@ def test_fused_default_model_type_matches_scan():
                                   noise=noise)
     assert gen_fused.last_sample_path == "fused"
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# padded (non-8-aligned) window / memory lengths: zero-pad + exact masking
+# instead of a scan fallback
+# ---------------------------------------------------------------------------
+
+def _zoo(model_type, wav, t, seed):
+    cfg = DenoiserConfig(d_pose=D_POSE, d_model=DM, heads=8, n_layers=1,
+                         model_type=model_type)
+    model = GestureDenoiser(cfg)
+    n = wav.shape[0]
+    variables = model.init(jax.random.key(seed), jnp.zeros((n, t, D_POSE)),
+                           jnp.zeros((n,), jnp.int32), wav, train=False)
+    sched, tmap = make_diffusion("linear", 100, "ddim10", is_training=False)
+    gen_scan = Generator(model, variables, sched, tmap, use_fused=False)
+    gen_fused = Generator(model, variables, sched, tmap, use_fused=True,
+                          fused_dtype=jnp.float32)
+    return model, variables, gen_scan, gen_fused
+
+
+def test_fused_misaligned_memory_matches_scan():
+    """default model type at a wav length whose time-concat memory is NOT a
+    multiple of 8 (n_mem 20 here): the fused path must zero-pad + mask, not
+    silently fall back to scan."""
+    wav = jnp.asarray(np.random.default_rng(50).normal(
+        0, 0.3, (N, 8000)).astype(np.float32))
+    model, variables, gen_scan, gen_fused = _zoo("default", wav, T, 50)
+    mem = model.apply(variables, wav, train=False,
+                      method=GestureDenoiser.encode_memory)
+    assert (mem.shape[1] + 1) % 8 != 0, "fixture must be misaligned"
+    noise = jax.random.normal(jax.random.key(51), (N, T, D_POSE))
+    a = gen_scan.generate_sample(wav, D_POSE, T, jax.random.key(52),
+                                 noise=noise)
+    b = gen_fused.generate_sample(wav, D_POSE, T, jax.random.key(52),
+                                  noise=noise)
+    assert gen_fused.last_sample_path == "fused"
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_fused_misaligned_window_matches_scan():
+    """pose window not a multiple of 8 (the tedexp configs use T=34), with
+    the seed-pose blend ramp exercising the padded blend tensors."""
+    t = 12
+    model, variables, gen_scan, gen_fused = _zoo("s2g_v2", WAV, t, 60)
+    noise = jax.random.normal(jax.random.key(61), (N, t, D_POSE))
+    seeds = jnp.asarray(np.random.default_rng(62).normal(
+        size=(N, t, D_POSE)).astype(np.float32))
+    mask = jnp.zeros((N, t, 1)).at[:, :3].set(1.0)
+    kw = dict(noise=noise, inpaint_poses=seeds, inpaint_masks=mask,
+              trans_factor=0.5, pose_seed_len=3)
+    a = gen_scan.generate_sample(WAV, D_POSE, t, jax.random.key(63), **kw)
+    b = gen_fused.generate_sample(WAV, D_POSE, t, jax.random.key(63), **kw)
+    assert gen_fused.last_sample_path == "fused"
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_fused_misaligned_both_clip_packed():
+    """window AND memory both padded, 4 clips packed per grid program (the
+    per-clip pad rows must survive the (n, rows) -> (n_prog, n_clips*rows)
+    reshape as in-block tails)."""
+    t = 12
+    wav = jnp.asarray(np.random.default_rng(70).normal(
+        0, 0.3, (8, 8000)).astype(np.float32))
+    model, variables, gen_scan, gen_fused = _zoo("default", wav, t, 70)
+    noise = jax.random.normal(jax.random.key(71), (8, t, D_POSE))
+    a = gen_scan.generate_sample(wav, D_POSE, t, jax.random.key(72),
+                                 noise=noise)
+    b = gen_fused.generate_sample(wav, D_POSE, t, jax.random.key(72),
+                                  noise=noise)
+    assert gen_fused.last_sample_path == "fused"
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_fused_real_length_validation(setup):
+    import gesture_diffusion_tpu.ops.fused_sampler as fs
+
+    _, gen_fused = setup
+    packed = fs.pack_oneway_denoiser(
+        gen_fused.variables["params"], D_POSE, T, weight_dtype=jnp.float32)
+    tmap = jnp.asarray(np.asarray(gen_fused.timestep_map)[:, None]
+                       .astype(np.int32))
+    coefs = jnp.asarray(fs.ddim_coefficients(gen_fused.sched))
+    x_T = jnp.zeros((N, T, 128))
+    mem = jnp.zeros((N, 8, DM))
+    kw = dict(n_layers=1, heads=8, num_steps=tmap.shape[0],
+              compute_dtype=jnp.float32, interpret=True)
+    with pytest.raises(ValueError, match="t_real"):
+        fs.fused_ddim_sample(packed, x_T, mem, tmap, coefs, None, None,
+                             t_real=T + 1, **kw)
+    with pytest.raises(ValueError, match="token row"):
+        fs.fused_ddim_sample(packed, x_T, mem, tmap, coefs, None, None,
+                             n_mem_real=1, **kw)
