@@ -152,7 +152,10 @@ def _load_cache(path: str, keys: Tuple[str, ...]) -> Optional[dict]:
 def _dump_cache(path: str, payload: dict) -> None:
     """Atomic cache write: a killed run leaves the old file (or nothing),
     never a truncated pickle."""
-    tmp = path + ".tmp"
+    # pid-suffixed tmp: concurrent builders of the same split (multihost
+    # prep on a shared filesystem) must not write through one shared tmp
+    # file — last os.replace wins, nobody crashes, no torn pickle
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)
     os.replace(tmp, path)
@@ -218,6 +221,11 @@ class WindowedDataset:
             if not isinstance(samples, dict) or "pose" not in samples \
                     or "wav" not in samples:
                 raise ValueError("not a {hid, pose, wav} samples dict")
+        except FileNotFoundError:
+            # a missing input is not a corrupt one — name the real remedy
+            raise FileNotFoundError(
+                f"{samples_path}: samples pickle not found; run the prep "
+                "phase first (main.py --mode prep)") from None
         except Exception as e:
             # unlike the _data/_seqs caches this is a real input artifact —
             # it cannot be rebuilt from here, so fail with the remedy

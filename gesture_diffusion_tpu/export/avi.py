@@ -51,7 +51,12 @@ def check_frame(f: np.ndarray, i: int, h, w) -> np.ndarray:
 
 
 def check_fps(fps) -> None:
-    if not (float(fps) > 0 and np.isfinite(float(fps))):
+    try:
+        val = float(fps)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"fps must be a positive finite number, got {fps!r}") from None
+    if not (val > 0 and np.isfinite(val)):
         raise ValueError(f"fps must be positive and finite, got {fps!r}")
 
 

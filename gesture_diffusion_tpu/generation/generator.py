@@ -391,7 +391,12 @@ class Generator:
         """Integer PCM (what scipy.io.wavfile.read returns) is 32768x the
         trained [-1, 1] scale; silently casting it produced garbage poses
         with no error.  Use data.beat.load_wav (scales + resamples)."""
-        dt = wav.dtype if hasattr(wav, "dtype") else np.asarray(wav).dtype
+        # dtype-less inputs (plain lists) are converted to float32 by the
+        # caller anyway — don't materialise a second full asarray copy of a
+        # streaming chunk just to inspect it
+        if not hasattr(wav, "dtype"):
+            return
+        dt = wav.dtype
         if np.issubdtype(dt, np.integer):
             raise TypeError(
                 f"wav has integer dtype {dt}: expected float audio in "

@@ -50,10 +50,22 @@ def load_checkpoint(
     except Exception as e:
         # name the file: auto-resume (latest_checkpoint) retries every
         # startup, so an unnamed msgpack error would block training with no
-        # hint which file is bad or how to recover.  Structure mismatches
-        # (flax's own ValueError) are already descriptive — re-raise those.
-        if isinstance(e, ValueError) and "target dict" in str(e):
-            raise
+        # hint which file is bad or how to recover.  Distinguish the two
+        # failure classes by re-parsing without a target: bytes that
+        # msgpack-decode fine are a healthy checkpoint whose STRUCTURE no
+        # longer matches the code/config — never tell the user to delete it.
+        try:
+            serialization.msgpack_restore(raw)
+            structure_mismatch = True
+        except Exception:
+            structure_mismatch = False
+        if structure_mismatch:
+            raise ValueError(
+                f"{path}: checkpoint does not match the current model/"
+                f"optimizer structure ({type(e).__name__}: {e}); it was "
+                "likely saved under a different config — the file itself is "
+                "intact, so fix the config (or load with the matching one) "
+                "rather than deleting it") from e
         raise ValueError(
             f"{path}: corrupt or unreadable checkpoint ({type(e).__name__}: "
             f"{e}); move it aside to start fresh") from e

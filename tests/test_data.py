@@ -471,6 +471,11 @@ class TestWindowedDataset:
         with pytest.raises(ValueError, match="samples pickle"):
             WindowedDataset(path, str(tmp_path / "dst"),
                             40, 20, 20, 16000, "log_rot")
+        # a merely MISSING file is not "corrupt": distinct named error
+        with pytest.raises(FileNotFoundError, match="not found; run the prep"):
+            WindowedDataset(os.path.join(spt, "nope_samples.pkl"),
+                            str(tmp_path / "dst"),
+                            40, 20, 20, 16000, "log_rot")
 
     def test_missing_scaler_named_error(self, tmp_path):
         """Building a non-train split before any train split: name the fix

@@ -571,6 +571,11 @@ class TestMuxerValidation:
             writer(p, [ok, np.zeros((16, 16, 3), np.uint8)], fps=10)
         with pytest.raises(ValueError, match="fps must be positive"):
             writer(p, [ok], fps=0)
+        # non-coercible fps stays a NAMED error, not a bare float() TypeError
+        with pytest.raises(ValueError, match="fps must be a positive"):
+            writer(p, [ok], fps=None)
+        with pytest.raises(ValueError, match="fps must be a positive"):
+            writer(p, [ok], fps="30fps")
         # healthy write unchanged
         writer(p, [ok, ok], fps=10)
         assert os.path.getsize(p) > 0

@@ -83,6 +83,25 @@ class TestSummarizeTrace:
         with pytest.raises(FileNotFoundError, match="jax.profiler.trace"):
             trace_ops.summarize_trace(str(tmp_path))
 
+    def test_wrong_shape_json_named_error(self, tmp_path):
+        d = tmp_path / "plugins" / "profile" / "x"
+        d.mkdir(parents=True)
+        (d / "vm.trace.json").write_text(json.dumps({"foo": 1}))
+        with pytest.raises(ValueError, match="no 'traceEvents' key"):
+            trace_ops.load_events(str(tmp_path))
+
+    def test_nonpositive_steps_rejected(self, tmp_path, capsys):
+        root = _write_trace(tmp_path, _EVENTS)
+        import sys
+        argv = sys.argv
+        sys.argv = ["trace_ops", root, "--steps", "0"]
+        try:
+            with pytest.raises(SystemExit):
+                trace_ops.main()
+        finally:
+            sys.argv = argv
+        assert "--steps must be >= 1" in capsys.readouterr().err
+
     def test_cli_table(self, tmp_path, capsys):
         root = _write_trace(tmp_path, _EVENTS)
         import sys

@@ -324,12 +324,20 @@ def test_corrupt_checkpoint_named_error(tmp_path):
     with pytest.raises(ValueError, match="meta.json.*move it aside"):
         load_checkpoint(p, target)
 
-    # healthy restore still round-trips, and a structure mismatch keeps
-    # flax's message
+    # healthy restore still round-trips
     with open(p + ".meta.json", "w") as f:
         f.write('{"step": 3}')
     tree, meta = load_checkpoint(p, target)
     assert meta == {"step": 3}
     np.testing.assert_array_equal(tree["params"]["w"], target["params"]["w"])
-    with pytest.raises(ValueError, match="target dict"):
-        load_checkpoint(p, {"different": np.zeros(3)})
+    # a structure mismatch on an INTACT file must never advise deletion —
+    # the bytes msgpack-decode fine, so the config/code changed, not the
+    # file.  Covers both flax message shapes (dict-key and list-size
+    # mismatches), which the old substring check ('target dict') missed.
+    for bad_target in ({"different": np.zeros(3)},
+                       {"params": [np.zeros(3), np.zeros(3)]}):
+        with pytest.raises(ValueError, match="does not match the current"):
+            load_checkpoint(p, bad_target)
+        with pytest.raises(ValueError) as ei:
+            load_checkpoint(p, bad_target)
+        assert "move it aside" not in str(ei.value)

@@ -62,7 +62,13 @@ def load_events(path: str) -> list:
     opener = gzip.open if f.endswith(".gz") else open
     with opener(f, "rt") as fh:
         doc = json.load(fh)
-    return doc["traceEvents"] if isinstance(doc, dict) else doc
+    if isinstance(doc, dict):
+        if "traceEvents" not in doc:
+            raise ValueError(
+                f"{f}: JSON object has no 'traceEvents' key — not a Chrome "
+                "trace (pass the directory given to jax.profiler.trace)")
+        return doc["traceEvents"]
+    return doc
 
 
 def summarize_trace(
@@ -118,6 +124,8 @@ def main() -> None:
     ap.add_argument("--device", default="",
                     help="substring filter on process name, e.g. /device:TPU")
     args = ap.parse_args()
+    if args.steps < 1:
+        ap.error(f"--steps must be >= 1, got {args.steps}")
 
     groups = summarize_trace(args.trace, lane=args.lane,
                              device_substr=args.device)
