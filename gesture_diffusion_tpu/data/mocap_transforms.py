@@ -28,7 +28,7 @@ both frameworks agree — each is noted at its site):
 from __future__ import annotations
 
 import copy as _copy
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
