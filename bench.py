@@ -143,6 +143,39 @@ def measure_ours(repetitions: int = 30, warmup: int = 5):
             fused_max_rel_dev)
 
 
+def measure_tedexp(repetitions: int = 5, warmup: int = 2):
+    """Second shipped config's sampler operating point: tedexp-ours.json
+    (default model, d_model 512 x 10-layer cross_attention decoder, 126-d
+    direction-vector poses, 34-frame windows @ 15 fps, full 1000-step
+    DDIM).  The joint-stream decoder is measured-infeasible for the fused
+    VMEM-resident kernel (~147 MB bf16 vs 16 MB VMEM — PERF.md r5), so
+    this row tracks the XLA scan path that config actually runs on."""
+    import jax
+    import jax.numpy as jnp
+
+    from gesture_diffusion_tpu.diffusion import make_diffusion
+    from gesture_diffusion_tpu.generation import Generator
+    from gesture_diffusion_tpu.models import DenoiserConfig, GestureDenoiser
+
+    d_pose, window = 126, 34                      # configs/tedexp-ours.json
+    wav_len = int(window / 15 * 16000)            # data/pipeline.py:114
+    cfg = DenoiserConfig(d_pose=d_pose, d_model=512, heads=8, n_layers=10,
+                         model_type="default", decoder_type="cross_attention",
+                         pose_seed_len=4)
+    model = GestureDenoiser(cfg)
+    wav = jnp.asarray(np.random.default_rng(5).normal(
+        0, 0.3, (1, wav_len)).astype(np.float32))
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, window, d_pose)),
+        jnp.zeros((1,), jnp.int32), wav, train=False)
+    sched, tmap = make_diffusion("linear", DIFFUSION_STEPS, is_training=False)
+    gen = Generator(model, variables, sched, tmap)
+    _, _, _, t = gen.eval_infer_time(
+        wav, d_pose, window, sample_alg="ddim",
+        repetitions=repetitions, warmup=warmup, return_raw=True)
+    return float(np.median(t)), gen.last_sample_path
+
+
 def measure_prep_parse(n_reps: int = 3):
     """Prep-phase BVH parse throughput (MB/s), host-side: one synthetic
     60 s / 120 fps / 51-joint recording (~10 MB of motion floats — the
@@ -275,6 +308,7 @@ def main():
     (t1, t64, t64_50, sweep50, ts, t_pipe, t_bpds, path,
      fused_dev) = measure_ours()
     train_ms, train_ms_scan, train_sweep = measure_train_step()
+    tedexp_ms, tedexp_path = measure_tedexp()
     prep_mbps = measure_prep_parse()
     # p50 headline: the tunnel-attached chip shows ~±10% run-to-run spread
     # (PERF.md); the median of 30 reps is stable where a mean of 10 was one
@@ -332,6 +366,13 @@ def main():
             # t_block=4 batches 4 independent timesteps per model call
             # (diffusion/sampling.py::bpd_loop) — measured -17% (PERF.md)
             "bpd_ms_b64_tblock4": round(t_bpds[4], 2),
+            # the second shipped config (tedexp-ours.json): d512 x 10-layer
+            # cross_attention on the scan path (fused is VMEM-infeasible
+            # there — PERF.md r5); full 1000-step DDIM, batch 1
+            "tedexp_b1_ddim1000_p50_ms": round(tedexp_ms, 2),
+            "tedexp_denoiser_steps_per_sec": round(
+                DIFFUSION_STEPS / (tedexp_ms / 1e3), 1),
+            "tedexp_path": tedexp_path,
             "prep_parse_MBps": round(prep_mbps, 1),
             "baseline_reference_steps_per_sec_torch_cpu": baseline_sps,
         },

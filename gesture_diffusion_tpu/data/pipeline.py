@@ -81,20 +81,30 @@ def resample_pose_seq(poses: np.ndarray, duration_in_sec: float,
 
 def convert_representation(poses: np.ndarray, representation: str) -> np.ndarray:
     """(N, T, C_euler) euler degrees -> (N, T, C_repr), with temporal expmap
-    unroll for log_rot (``dataset.py:49-70``)."""
+    unroll for log_rot (``dataset.py:49-70``).
+
+    Pinned to the CPU backend: this is host-side data prep (the training
+    arrays it produces are pickled, not fed onward on device), and the
+    rotation ops are jnp — without the pin they would compile and run on
+    the DEFAULT backend, which on a tunnel-attached TPU means paying
+    remote compiles + per-op round trips for numpy-scale work (and taking
+    the whole data phase down with the tunnel if it hiccups)."""
+    import jax
+
     n, t, c = poses.shape
     eul = poses.reshape(n, t, -1, 3)
     if representation == "euler":
         return poses
-    if representation == "6d":
-        o6 = np.asarray(rot.euler_to_ortho6d(eul))
-        return o6.reshape(n, t, -1)
-    if representation == "log_rot":
-        rv = np.asarray(rot.euler_to_rotvec(eul))         # (N, T, J, 3)
-        rv = np.swapaxes(rv, 1, 2)                        # (N, J, T, 3)
-        rv = np.asarray(rot.unroll_rotvec(rv))            # per-joint unroll over T
-        rv = np.swapaxes(rv, 1, 2)
-        return rv.reshape(n, t, -1)
+    with jax.default_device(jax.devices("cpu")[0]):
+        if representation == "6d":
+            o6 = np.asarray(rot.euler_to_ortho6d(eul))
+            return o6.reshape(n, t, -1)
+        if representation == "log_rot":
+            rv = np.asarray(rot.euler_to_rotvec(eul))     # (N, T, J, 3)
+            rv = np.swapaxes(rv, 1, 2)                    # (N, J, T, 3)
+            rv = np.asarray(rot.unroll_rotvec(rv))        # per-joint unroll
+            rv = np.swapaxes(rv, 1, 2)
+            return rv.reshape(n, t, -1)
     raise ValueError(f"Unsupported pose_representation {representation}")
 
 

@@ -301,29 +301,26 @@ class Generator:
                 mem = jnp.zeros((n, n_mem_real + n_mem_pad, mem_rows.shape[2]),
                                 cd).at[:, :n_mem_real].set(
                     mem_rows.astype(cd))
-                x_T = jnp.zeros((n, t_win, dp_pad)
-                                ).at[:, :pose_window_len, :pose_dim].set(noise)
-                x_add = None
-                if xadd is not None:
-                    x_add = jnp.zeros((n, t_win, dp_pad)
-                                      ).at[:, :pose_window_len,
-                                           :pose_dim].set(
-                        xadd.astype(jnp.float32))
+
+                def embed(val, fill=0.0):
+                    # pose tensor -> kernel block: rows padded to sublane
+                    # alignment, lanes to dp_pad (pad cells hold `fill`)
+                    return jnp.full((n, t_win, dp_pad), fill, jnp.float32
+                                    ).at[:, :pose_window_len,
+                                         :pose_dim].set(val)
+
+                x_T = embed(noise)
+                x_add = None if xadd is None else embed(
+                    xadd.astype(jnp.float32))
                 if ip is None:
                     # identity blend: pass None so the kernel skips the
                     # blend tensors and collapses the update epilogue
                     blend_a = blend_b = None
                 else:
                     tf = 0.0 if rp is None else rp
-                    a = (1.0 - tf) * im * ip
-                    b = tf * im + (1.0 - im)
-                    blend_a = jnp.zeros((n, t_win, dp_pad)
-                                        ).at[:, :pose_window_len,
-                                             :pose_dim].set(a)
-                    blend_b = jnp.ones((n, t_win, dp_pad)
-                                       ).at[:, :pose_window_len,
-                                            :pose_dim].set(
-                        jnp.broadcast_to(b, ip.shape))
+                    blend_a = embed((1.0 - tf) * im * ip)
+                    blend_b = embed(jnp.broadcast_to(
+                        tf * im + (1.0 - im), ip.shape), fill=1.0)
                 out = fs.fused_ddim_sample(
                     packed, x_T, mem, tmap, coefs, blend_a, blend_b,
                     n_layers=cfg.n_layers, heads=cfg.heads,
@@ -643,8 +640,10 @@ class Generator:
                     im = jnp.zeros(poses.shape[:2] + (1,), poses.dtype
                                    ).at[:, :pose_seed_len].set(1.0)
                 if k > 1:
-                    tile = lambda a: (None if a is None else  # noqa: E731
-                                      jnp.concatenate([a] * k, axis=0))
+                    def tile(a):
+                        return (None if a is None
+                                else jnp.concatenate([a] * k, axis=0))
+
                     memory = jax.tree_util.tree_map(tile, memory)
                     ip, im = tile(ip), tile(im)
                 model_fn = self._model_fn(variables, memory, ip, im)
@@ -745,11 +744,8 @@ class GestureStream:
             from ..parallel import data_sharding
 
             self._sharding = data_sharding(mesh)
-        self._init_tail = init_poses
-        if init_poses is not None:
-            self._init_tail = (jax.device_put(init_poses, self._sharding)
-                               if self._sharding is not None
-                               else jnp.asarray(init_poses))
+        self._init_tail = (None if init_poses is None
+                           else self._put(init_poses))
         self._buf = []                  # received audio chunks (np)
         self._buf_offset = 0            # absolute index of _buf[0][..., 0]
         self._received = 0
@@ -764,6 +760,12 @@ class GestureStream:
         self._finished = False
 
     # -- internals -----------------------------------------------------
+    def _put(self, x) -> jax.Array:
+        """Host tensor -> device, onto the mesh's data sharding when one
+        was given (single-device otherwise)."""
+        return (jax.device_put(x, self._sharding)
+                if self._sharding is not None else jnp.asarray(x))
+
     def _audio(self, start: int, end: int) -> np.ndarray:
         """Buffered audio [start:end) zero-padded to the window length."""
         full = np.concatenate(self._buf, axis=-1)
@@ -813,9 +815,7 @@ class GestureStream:
             else:
                 if d >= self._num_divisions(final_len):
                     return
-            window = self._audio(wav_start, wav_end)
-            wavs = (jax.device_put(window, self._sharding)
-                    if self._sharding is not None else jnp.asarray(window))
+            wavs = self._put(self._audio(wav_start, wav_end))
             if self._init_tail is None and d == 0:
                 ip = im = None
             else:
@@ -824,9 +824,7 @@ class GestureStream:
                     n = wavs.shape[0]
                     mask = np.zeros((n, self.window_len, 1), np.float32)
                     mask[:, :self.seed_len] = 1.0
-                    self._mask = (jax.device_put(mask, self._sharding)
-                                  if self._sharding is not None
-                                  else jnp.asarray(mask))
+                    self._mask = self._put(mask)
                     s = self.seed_len
 
                     # the seed-tail slice lives INSIDE the jit so multihost
