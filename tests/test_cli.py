@@ -147,3 +147,60 @@ def test_json_config_malformed_file_named_errors(tmp_path):
     arr.write_text("[1, 2, 3]")
     with pytest.raises(ValueError, match="root must be a JSON object"):
         JsonConfig(str(arr))
+
+
+def test_main_argv_wiring(tmp_path, monkeypatch, capsys):
+    """cli.main() parses argv, loads the config, stamps Meta.*, seeds, and
+    dispatches the phase function — tested at the argv level (the phase
+    bodies themselves are covered by test_phases_end_to_end)."""
+    from gesture_diffusion_tpu import cli as pkg_cli
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({"Data": {"wav_sr": 16000}}))
+    seen = {}
+    monkeypatch.setattr(pkg_cli, "preprocess",
+                        lambda config: seen.setdefault("config", config))
+    monkeypatch.setattr(sys, "argv", [
+        "gesture-diffusion", "--phase", "prep",
+        "--config", str(cfg_path), "--seed", "7"])
+    pkg_cli.main()
+    config = seen["config"]
+    assert config.Meta.phase == "prep"
+    assert config.Meta.seed == 7
+    assert config.Meta.config_path == str(cfg_path)
+    assert config.Data.wav_sr == 16000
+
+    # unknown phase: named error, raised before any phase work
+    monkeypatch.setattr(sys, "argv", [
+        "gesture-diffusion", "--phase", "bogus", "--config", str(cfg_path)])
+    with pytest.raises(ValueError, match="bogus"):
+        pkg_cli.main()
+
+    # missing required flags: argparse exits 2 with usage
+    monkeypatch.setattr(sys, "argv", ["gesture-diffusion"])
+    with pytest.raises(SystemExit) as exc:
+        pkg_cli.main()
+    assert exc.value.code == 2
+    assert "--phase" in capsys.readouterr().err
+
+    # the shim module re-exports the same driver (reference invocation
+    # `python main.py --phase ...` runs the packaged code)
+    assert cli.main is pkg_cli.main
+
+
+def test_cli_module_entry_standalone():
+    """`python -m gesture_diffusion_tpu.cli --help` works from a clean
+    subprocess — proves the packaged module entry (and therefore the
+    `gesture-diffusion` console script target, which calls the same
+    main()) resolves without the repo-root main.py shim."""
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "gesture_diffusion_tpu.cli", "--help"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "--phase" in out.stdout and "--config" in out.stdout
