@@ -205,8 +205,14 @@ def load_eval_objs(config):
         "best_params": variables["params"]})
     variables = {"params": tree["best_params"],
                  "batch_stats": tree["state"]["batch_stats"]}
+    # multi-chip hosts: hand the Generator a data-axis mesh so the fused
+    # sampler runs one kernel instance per chip (shard_map; see
+    # docs/SERVING.md).  Single-device (and the scan path, which GSPMD
+    # shards from input shardings alone) is unchanged; batches that do
+    # not divide the data axis fall back to the scan path.
+    mesh = make_mesh() if __import__("jax").device_count() > 1 else None
     generator = Generator(model, variables, bundle.eval_schedule,
-                          bundle.eval_timestep_map)
+                          bundle.eval_timestep_map, mesh=mesh)
     return meta, test_ds, generator
 
 

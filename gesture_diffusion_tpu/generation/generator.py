@@ -109,16 +109,30 @@ class Generator:
         timestep_map: Optional[jax.Array] = None,
         use_fused: "bool | str" = "auto",
         fused_dtype=None,
+        mesh=None,
     ):
         """:param use_fused: route DDIM sampling through the single-Pallas-
         kernel sampler (ops/fused_sampler.py — weights resident in VMEM)
-        when supported.  "auto" enables it on TPU backends only."""
+        when supported.  "auto" enables it on TPU backends only.
+
+        :param mesh: optional ``jax.sharding.Mesh`` with a "data" axis.
+        When given, the fused kernel runs under ``shard_map`` over that
+        axis — each device holds its own VMEM-resident weight copy and
+        samples its local clips with ZERO collectives (clips are
+        independent), so fused serving throughput scales linearly with
+        the data axis.  The scan path needs no mesh argument (GSPMD
+        shards it from the input shardings alone); batches not divisible
+        by the data axis fall back to the scan path."""
         self.model = model
         self.variables = variables
         self.sched = sched
         self.timestep_map = timestep_map
         self.use_fused = use_fused
         self.fused_dtype = fused_dtype
+        self.mesh = mesh
+        if mesh is not None and "data" not in mesh.shape:
+            raise ValueError(
+                f"Generator mesh needs a 'data' axis, got {dict(mesh.shape)}")
         self._sample_jit = {}   # keyed by (alg, inpaint?)
         self._bpd_jit = {}      # keyed by pose_seed_len (closure captures it)
         #: which path produced the last ``generate_sample`` output —
@@ -277,9 +291,10 @@ class Generator:
         # the cached run() closure captures pose_window_len/dp_pad — key on
         # them too, or a window/pose-dim change reuses a stale closure
         # (n_mem_real varies with the wav length: key on it as well)
+        n_shards = int(self.mesh.shape["data"]) if self.mesh is not None else 1
         key = ("exec", inpaint_poses is not None, ramp is not None, n_clips,
                stochastic, pose_dim, pose_window_len, xadd is not None,
-               n_mem_real)
+               n_mem_real, n_shards)
         if key not in self._sample_jit:
             dp_pad = ((pose_dim + 127) // 128) * 128
             t_win = pose_window_len + t_pad
@@ -321,6 +336,14 @@ class Generator:
                     blend_a = embed((1.0 - tf) * im * ip)
                     blend_b = embed(jnp.broadcast_to(
                         tf * im + (1.0 - im), ip.shape), fill=1.0)
+                if n_shards > 1:
+                    # continue the kernel's seed + program_id*9973 stream
+                    # across shards: shard s's programs pick up where
+                    # shard s-1's left off, so DDPM noise is decorrelated
+                    # across devices (identical seeds would draw IDENTICAL
+                    # per-step noise on every shard) and deterministic
+                    seed = seed + jax.lax.axis_index("data").astype(
+                        jnp.int32) * jnp.int32((n // n_clips) * 9973)
                 out = fs.fused_ddim_sample(
                     packed, x_T, mem, tmap, coefs, blend_a, blend_b,
                     n_layers=cfg.n_layers, heads=cfg.heads,
@@ -331,6 +354,19 @@ class Generator:
                     n_mem_real=n_mem_real if n_mem_pad else None)
                 return out[:, :pose_window_len, :pose_dim]
 
+            if n_shards > 1:
+                from jax.sharding import PartitionSpec as P
+
+                # one kernel instance per data-axis device: weights/tables
+                # replicated (each chip keeps its own VMEM-resident copy),
+                # batch tensors sharded, zero collectives (clips are
+                # independent).  check_vma off: the pallas_call carries no
+                # varying-manual-axes annotation to infer from.
+                run = jax.shard_map(
+                    run, mesh=self.mesh,
+                    in_specs=(P(), P(), P(), P("data"), P("data"),
+                              P("data"), P("data"), P(), P(), P("data")),
+                    out_specs=P("data"), check_vma=False)
             self._sample_jit[key] = jax.jit(run)
         coefs = self._fused_ddpm_coefs if stochastic else self._fused_coefs
         return self._sample_jit[key](
@@ -428,12 +464,16 @@ class Generator:
         # program via per-clip attention.  Grid programs run serially,
         # so for batch shapes that pack poorly (odd N > 2) the XLA scan —
         # which amortises weight streaming across the whole batch — wins.
+        # With a mesh, the kernel runs per-shard under shard_map, so the
+        # packing heuristic applies to the PER-DEVICE batch.
         import math
 
-        n_clips = math.gcd(n, 8)
+        n_shards = int(self.mesh.shape["data"]) if self.mesh is not None else 1
+        n_local = n // n_shards if n % n_shards == 0 else 0
+        n_clips = math.gcd(n_local, 8) if n_local else 1
         fused_eligible = (
-            sample_alg in ("ddim", "ddpm")
-            and (n <= 2 or n_clips >= 4) and self._fused_enabled())
+            sample_alg in ("ddim", "ddpm") and n_local > 0
+            and (n_local <= 2 or n_clips >= 4) and self._fused_enabled())
         # noise is None + fused eligible: memory prep, split, noise and
         # kernel-seed all run in ONE jitted dispatch (_fused_prep_rng) —
         # the streams are bit-identical to the host derivation below, so a

@@ -357,3 +357,121 @@ def test_fused_real_length_validation(setup):
     with pytest.raises(ValueError, match="token row"):
         fs.fused_ddim_sample(packed, x_T, mem, tmap, coefs, None, None,
                              n_mem_real=1, **kw)
+
+
+# -- Generator(mesh=...): fused kernel under shard_map ---------------------
+
+def _mesh_generators(setup, n_data=2):
+    from gesture_diffusion_tpu.parallel import make_mesh
+
+    gen_scan, shared = setup
+    # fresh single-device fused generator: the module-scoped one may have
+    # self-disabled (test_fused_ddpm_stochastic exercises the CPU runtime
+    # fallback, which flips use_fused off permanently)
+    gen_fused = Generator(shared.model, shared.variables, shared.sched,
+                          shared.timestep_map, use_fused=True,
+                          fused_dtype=jnp.float32)
+    mesh = make_mesh(n_data=n_data, n_model=1,
+                     devices=jax.devices()[:n_data])
+    gen_mesh = Generator(shared.model, shared.variables,
+                         shared.sched, shared.timestep_map,
+                         use_fused=True, fused_dtype=jnp.float32, mesh=mesh)
+    return gen_scan, gen_fused, gen_mesh
+
+
+def test_fused_mesh_matches_scan_and_single_device(setup):
+    """Generator(mesh=...) runs the fused kernel one-instance-per-data-
+    shard (shard_map, weights replicated, zero collectives) and matches
+    both the scan path and the single-device fused path on the same
+    inputs.  Per-shard clip packing differs from single-device packing
+    (n_local=2 -> 2-clip programs vs one 4-clip program), so agreement
+    here also re-checks packing invariance."""
+    gen_scan, gen_fused, gen_mesh = _mesh_generators(setup)
+    n = 4
+    wav4 = jnp.concatenate([WAV, WAV], axis=0)
+    noise = jax.random.normal(jax.random.key(31), (n, T, D_POSE))
+    a = gen_scan.generate_sample(wav4, D_POSE, T, jax.random.key(32),
+                                 noise=noise)
+    b = gen_fused.generate_sample(wav4, D_POSE, T, jax.random.key(32),
+                                  noise=noise)
+    c = gen_mesh.generate_sample(wav4, D_POSE, T, jax.random.key(32),
+                                 noise=noise)
+    assert gen_fused.last_sample_path == "fused"
+    assert gen_mesh.last_sample_path == "fused"
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=2e-3)
+
+
+def test_fused_mesh_with_inpaint_ramp_matches_scan(setup):
+    """The blend/inpaint tensors shard with the batch under the mesh."""
+    gen_scan, _, gen_mesh = _mesh_generators(setup)
+    n = 4
+    wav4 = jnp.concatenate([WAV, WAV], axis=0)
+    noise = jax.random.normal(jax.random.key(33), (n, T, D_POSE))
+    seeds = jnp.asarray(np.random.default_rng(34).normal(
+        size=(n, T, D_POSE)).astype(np.float32))
+    mask = jnp.zeros((n, T, 1)).at[:, :3].set(1.0)
+    kw = dict(noise=noise, inpaint_poses=seeds, inpaint_masks=mask,
+              trans_factor=0.5, pose_seed_len=3)
+    a = gen_scan.generate_sample(wav4, D_POSE, T, jax.random.key(35), **kw)
+    c = gen_mesh.generate_sample(wav4, D_POSE, T, jax.random.key(35), **kw)
+    assert gen_mesh.last_sample_path == "fused"
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-3)
+
+
+def test_fused_mesh_seed_continues_program_stream_per_shard(setup,
+                                                            monkeypatch):
+    """Each shard's kernel seed continues the kernel's
+    seed + program_id*9973 stream where the previous shard's programs
+    left off — equal per-shard seeds would draw IDENTICAL per-step DDPM
+    noise on every shard.  The in-kernel PRNG has no CPU lowering (even
+    interpreted), so the wiring is checked with a kernel mock that
+    echoes the seed each shard received: with n=4 over 2 shards and
+    2-clip packing (1 program per shard), shard 1 must see shard 0's
+    seed + 1*9973 exactly."""
+    import gesture_diffusion_tpu.ops.fused_sampler as fs
+
+    _, _, gen_mesh = _mesh_generators(setup)
+
+    def echo_seed(packed, x_T, mem, tmap, coefs, ba, bb, **kw):
+        # int32 passthrough: a float cast would round large seeds (f32
+        # spacing near 2^31 is 256) and hide the exact +9973 offset
+        return jnp.broadcast_to(jnp.asarray(kw["seed"], jnp.int32),
+                                x_T.shape)
+
+    monkeypatch.setattr(fs, "fused_ddim_sample", echo_seed)
+    n = 4
+    wav_same = jnp.tile(WAV[:1], (n, 1))
+    noise_same = jnp.tile(
+        jax.random.normal(jax.random.key(36), (1, T, D_POSE)), (n, 1, 1))
+    out = np.asarray(gen_mesh.generate_sample(
+        wav_same, D_POSE, T, jax.random.key(37), noise=noise_same,
+        sample_alg="ddpm"))
+    assert gen_mesh.last_sample_path == "fused"
+    seeds = out[:, 0, 0].astype(np.int64)      # per-clip echoed seed
+    # clips within a shard share the seed; shard 1 = shard 0 + 1*9973
+    assert seeds[0] == seeds[1] and seeds[2] == seeds[3]
+    assert seeds[2] - seeds[0] == 9973, \
+        f"shard seed offset wrong: {seeds}"
+
+
+def test_fused_mesh_indivisible_batch_falls_back_to_scan(setup):
+    """A batch not divisible by the data axis cannot shard; the call
+    lands on the scan path (GSPMD) instead of erroring."""
+    _, _, gen_mesh = _mesh_generators(setup)
+    wav3 = jnp.concatenate([WAV, WAV[:1]], axis=0)      # n=3, 2 shards
+    noise = jax.random.normal(jax.random.key(38), (3, T, D_POSE))
+    out = gen_mesh.generate_sample(wav3, D_POSE, T, jax.random.key(39),
+                                   noise=noise)
+    assert gen_mesh.last_sample_path == "scan"
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generator_mesh_requires_data_axis(setup):
+    from jax.sharding import Mesh
+
+    _, gen_fused = setup
+    bad = Mesh(np.array(jax.devices()[:2]), ("model",))
+    with pytest.raises(ValueError, match="data"):
+        Generator(gen_fused.model, gen_fused.variables, gen_fused.sched,
+                  gen_fused.timestep_map, mesh=bad)
