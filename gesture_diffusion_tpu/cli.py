@@ -207,10 +207,19 @@ def load_eval_objs(config):
                  "batch_stats": tree["state"]["batch_stats"]}
     # multi-chip hosts: hand the Generator a data-axis mesh so the fused
     # sampler runs one kernel instance per chip (shard_map; see
-    # docs/SERVING.md).  Single-device (and the scan path, which GSPMD
-    # shards from input shardings alone) is unchanged; batches that do
-    # not divide the data axis fall back to the scan path.
-    mesh = make_mesh() if __import__("jax").device_count() > 1 else None
+    # docs/SERVING.md).  Single-device is unchanged; batches that do not
+    # divide the data axis (including eval-time's fixed batch of 1) run
+    # the fused kernel unsharded on one device, so the latency metric
+    # stays fused and comparable.  Multi-PROCESS runs get no mesh: the
+    # CLI feeds host-local arrays, which a global-mesh shard_map cannot
+    # place on non-addressable devices — each host evals replicated on
+    # its local chips instead (callers wanting cross-host sharded
+    # sampling build global arrays through the library API; see
+    # tests/test_multiprocess.py).
+    jax_ = __import__("jax")
+    mesh = (make_mesh(devices=jax_.local_devices())
+            if jax_.process_count() == 1 and jax_.local_device_count() > 1
+            else None)
     generator = Generator(model, variables, bundle.eval_schedule,
                           bundle.eval_timestep_map, mesh=mesh)
     return meta, test_ds, generator
@@ -354,8 +363,11 @@ def eval_infer_time(config):
     window = samples["pose"].shape[1]
     mean_ms, std_ms, steps_per_sec = generator.eval_infer_time(
         wavs, d_pose, window)
+    # name the path like bench.py does: a silent fused->scan fallback
+    # would otherwise change this metric's meaning across runs
     print(f"[Info] DDIM loop: {mean_ms:.2f} +- {std_ms:.2f} ms "
-          f"({steps_per_sec:.0f} denoise steps/s)")
+          f"({steps_per_sec:.0f} denoise steps/s, "
+          f"path={generator.last_sample_path})")
 
 
 def generate(config):

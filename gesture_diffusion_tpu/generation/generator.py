@@ -115,14 +115,17 @@ class Generator:
         kernel sampler (ops/fused_sampler.py — weights resident in VMEM)
         when supported.  "auto" enables it on TPU backends only.
 
-        :param mesh: optional ``jax.sharding.Mesh`` with a "data" axis.
-        When given, the fused kernel runs under ``shard_map`` over that
-        axis — each device holds its own VMEM-resident weight copy and
-        samples its local clips with ZERO collectives (clips are
-        independent), so fused serving throughput scales linearly with
-        the data axis.  The scan path needs no mesh argument (GSPMD
-        shards it from the input shardings alone); batches not divisible
-        by the data axis fall back to the scan path."""
+        :param mesh: optional ``jax.sharding.Mesh`` whose only non-trivial
+        axis is "data".  When given, the fused kernel runs under
+        ``shard_map`` over that axis — each device holds its own
+        VMEM-resident weight copy and samples its local clips with ZERO
+        collectives (clips are independent), so fused serving throughput
+        scales linearly with the data axis.  Batches not divisible by the
+        data axis run the fused kernel UNSHARDED on one device (sampling
+        stays fused; sharding resumes on the next divisible batch).  The
+        scan path ignores the mesh: GSPMD shards it from the input
+        shardings alone, so it runs on one device unless the CALLER
+        device_puts its batch onto a sharded layout."""
         self.model = model
         self.variables = variables
         self.sched = sched
@@ -130,9 +133,21 @@ class Generator:
         self.use_fused = use_fused
         self.fused_dtype = fused_dtype
         self.mesh = mesh
-        if mesh is not None and "data" not in mesh.shape:
-            raise ValueError(
-                f"Generator mesh needs a 'data' axis, got {dict(mesh.shape)}")
+        if mesh is not None:
+            if "data" not in mesh.shape:
+                raise ValueError(
+                    f"Generator mesh needs a 'data' axis, got "
+                    f"{dict(mesh.shape)}")
+            extra = {k: v for k, v in mesh.shape.items()
+                     if k != "data" and v > 1}
+            if extra:
+                # shard_map maps over EVERY mesh axis; an unmentioned
+                # model axis would run duplicate kernel instances whose
+                # outputs are discarded — half the fleet silently wasted
+                raise ValueError(
+                    f"Generator mesh must be data-only; non-trivial axes "
+                    f"{extra} would run duplicate kernel instances. Pass "
+                    f"a mesh whose only axis > 1 is 'data'.")
         self._sample_jit = {}   # keyed by (alg, inpaint?)
         self._bpd_jit = {}      # keyed by pose_seed_len (closure captures it)
         #: which path produced the last ``generate_sample`` output —
@@ -177,7 +192,7 @@ class Generator:
 
     def _fused_sample(self, wavs, pose_dim, pose_window_len, noise,
                       inpaint_poses, inpaint_masks, ramp, n_clips=1,
-                      stochastic=False, seed=0, rng=None):
+                      stochastic=False, seed=0, rng=None, n_shards=1):
         import jax.numpy as jnp
 
         from ..ops import fused_sampler as fs
@@ -291,7 +306,6 @@ class Generator:
         # the cached run() closure captures pose_window_len/dp_pad — key on
         # them too, or a window/pose-dim change reuses a stale closure
         # (n_mem_real varies with the wav length: key on it as well)
-        n_shards = int(self.mesh.shape["data"]) if self.mesh is not None else 1
         key = ("exec", inpaint_poses is not None, ramp is not None, n_clips,
                stochastic, pose_dim, pose_window_len, xadd is not None,
                n_mem_real, n_shards)
@@ -465,11 +479,17 @@ class Generator:
         # so for batch shapes that pack poorly (odd N > 2) the XLA scan —
         # which amortises weight streaming across the whole batch — wins.
         # With a mesh, the kernel runs per-shard under shard_map, so the
-        # packing heuristic applies to the PER-DEVICE batch.
+        # packing heuristic applies to the PER-DEVICE batch.  Indivisible
+        # batches cannot shard; they run the kernel UNSHARDED on one
+        # device when the single-device heuristic allows it (which still
+        # beats the scan fallback — that is single-device too unless the
+        # caller shards its inputs).
         import math
 
         n_shards = int(self.mesh.shape["data"]) if self.mesh is not None else 1
-        n_local = n // n_shards if n % n_shards == 0 else 0
+        if n_shards > 1 and n % n_shards:
+            n_shards = 1
+        n_local = n // n_shards
         n_clips = math.gcd(n_local, 8) if n_local else 1
         fused_eligible = (
             sample_alg in ("ddim", "ddpm") and n_local > 0
@@ -495,7 +515,8 @@ class Generator:
                                          noise, inpaint_poses, inpaint_masks,
                                          ramp, n_clips=n_clips,
                                          stochastic=(sample_alg == "ddpm"),
-                                         seed=seed, rng=fused_rng)
+                                         seed=seed, rng=fused_rng,
+                                         n_shards=n_shards)
                 if out is not None:
                     self.last_sample_path = "fused"
                     return out

@@ -456,8 +456,9 @@ def test_fused_mesh_seed_continues_program_stream_per_shard(setup,
 
 
 def test_fused_mesh_indivisible_batch_falls_back_to_scan(setup):
-    """A batch not divisible by the data axis cannot shard; the call
-    lands on the scan path (GSPMD) instead of erroring."""
+    """A batch not divisible by the data axis cannot shard; it is then
+    judged by the SINGLE-DEVICE heuristic — n=3 packs poorly (gcd(3,8)=1)
+    so it lands on the scan path, same as a mesh-less Generator."""
     _, _, gen_mesh = _mesh_generators(setup)
     wav3 = jnp.concatenate([WAV, WAV[:1]], axis=0)      # n=3, 2 shards
     noise = jax.random.normal(jax.random.key(38), (3, T, D_POSE))
@@ -465,6 +466,24 @@ def test_fused_mesh_indivisible_batch_falls_back_to_scan(setup):
                                    noise=noise)
     assert gen_mesh.last_sample_path == "scan"
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_mesh_indivisible_small_batch_runs_fused_unsharded(setup):
+    """An indivisible batch that the single-device heuristic accepts
+    (n=1 <= 2) must stay on the fused path, UNSHARDED — it must not
+    regress to the scan sampler just because a mesh is attached (the
+    CLI's eval-time phase measures exactly this shape), and it must
+    match the mesh-less fused Generator bit-exactly (same program:
+    n_shards=1 keys the same cache entry shape)."""
+    _, gen_fused, gen_mesh = _mesh_generators(setup)
+    noise = jax.random.normal(jax.random.key(40), (1, T, D_POSE))
+    a = gen_fused.generate_sample(WAV[:1], D_POSE, T, jax.random.key(41),
+                                  noise=noise)
+    c = gen_mesh.generate_sample(WAV[:1], D_POSE, T, jax.random.key(41),
+                                 noise=noise)
+    assert gen_fused.last_sample_path == "fused"
+    assert gen_mesh.last_sample_path == "fused"
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(a))
 
 
 def test_generator_mesh_requires_data_axis(setup):
@@ -475,3 +494,20 @@ def test_generator_mesh_requires_data_axis(setup):
     with pytest.raises(ValueError, match="data"):
         Generator(gen_fused.model, gen_fused.variables, gen_fused.sched,
                   gen_fused.timestep_map, mesh=bad)
+
+
+def test_generator_mesh_rejects_model_axis(setup):
+    """shard_map maps over EVERY mesh axis; a model axis > 1 would run
+    duplicate kernel instances with the extra chips' outputs discarded.
+    Reject it at construction instead of silently wasting the fleet."""
+    from gesture_diffusion_tpu.parallel import make_mesh
+
+    _, gen_fused = setup
+    bad = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="data-only"):
+        Generator(gen_fused.model, gen_fused.variables, gen_fused.sched,
+                  gen_fused.timestep_map, mesh=bad)
+    # a trailing size-1 model axis stays fine (make_mesh always emits 2-D)
+    ok = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    Generator(gen_fused.model, gen_fused.variables, gen_fused.sched,
+              gen_fused.timestep_map, mesh=ok)
